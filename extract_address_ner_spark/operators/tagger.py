@@ -1,0 +1,273 @@
+"""Mention extraction: tokenize → BIO tag → span merge, as Spark operators.
+
+Reference semantics (citations into /root/reference/):
+- tokenization with char offsets + special/empty-token skip
+  (app/services/ml_model.py:317-327, :361-362)
+- BIO label contract {O, B-ADDRESS, I-ADDRESS}
+  (app/services/ml_model.py:21)
+- span merge state machine incl. bare-I quirk and mean-confidence
+  (app/services/ml_model.py:352-437)
+
+Two interchangeable physical strategies (equivalence-tested):
+
+1. ``extract_mentions`` (DEFAULT, the 100 TB path): the whole per-document
+   pipeline is expressed with SQL higher-order functions (aggregate /
+   transform / filter over arrays) — a NARROW plan: no shuffle, no Python
+   worker, fully inside whole-stage codegen. Each document's token stream is
+   an array; the BIO state machine is an ``aggregate`` fold. Throughput
+   scales linearly with executor cores and the operator is embarrassingly
+   parallel over files.
+
+2. ``extract_mentions_pandas``: mapInPandas over Arrow batches calling the
+   pure-Python oracle (exact imperative port of the reference state machine).
+   This is also the pluggable-tagger seam: a ``Tagger`` returning per-token
+   labels+confidences can be swapped in (the neural RoBERTa+BiLSTM+CRF tagger
+   of ml_model.py:58-247 slots here when torch is available — import-guarded).
+
+Output schema (both): input key columns + ``mention_text, m_start, m_end,
+confidence`` — one row per mention (reference D5, app/models/address.py:9-13).
+Slice identity ``content[m_start:m_end] == mention_text`` holds
+(ml_model.py:369).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from typing import Protocol
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import CONF_ADDRESS, CONF_OTHER
+from ..sources.admin_regions import start_region_names
+
+# Continuation-token regex — keep in sync with oracle._CONT_RE (asserted in
+# tests). Derived from the reference validation patterns
+# (app/utils/preprocess.py:284-288).
+CONT_REGEX = r"^(?:\S+[시군구동읍면리로길]|\d+(?:-\d+)?(?:번길|번지)?)$"
+
+_TOK_ARR_T = "array<struct<token: string, tok_start: int, tok_end: int>>"
+_LAB_ARR_T = "array<struct<token: string, tok_start: int, tok_end: int, label: string, conf: double>>"
+_SPAN_ARR_T = "array<struct<m_start: int, m_end: int, confidence: double>>"
+
+
+def tokens_with_offsets_expr(text_col: str) -> str:
+    """SQL expression: string → array<struct<token, tok_start, tok_end>>.
+
+    Single-space split with a running char offset (each token consumes
+    length+1 chars); empty tokens from space runs advance the offset but are
+    dropped — mirroring the special-token skip (tok_start == tok_end ⇒ skip,
+    ml_model.py:361-362) and oracle.tokenize_ws."""
+    return f"""
+    aggregate(
+      split({text_col}, ' '),
+      named_struct('pos', 0, 'toks', CAST(array() AS {_TOK_ARR_T})),
+      (acc, t) -> named_struct(
+        'pos', acc.pos + length(t) + 1,
+        'toks', CASE WHEN length(t) > 0
+          THEN concat(acc.toks, array(named_struct(
+            'token', t, 'tok_start', acc.pos, 'tok_end', acc.pos + length(t))))
+          ELSE acc.toks END),
+      acc -> acc.toks)
+    """.strip()
+
+
+def _start_set_expr() -> str:
+    names = ", ".join(f"'{n}'" for n in sorted(start_region_names()))
+    return f"array({names})"
+
+
+def labeled_tokens_expr(toks_expr: str) -> str:
+    """Array fold assigning BIO labels: B at a top-level region token
+    (lexicon), I for continuation tokens while a span is open, O otherwise.
+    Per-token confidence uses the deterministic constants 0.85/0.15
+    (preprocess.py:291-293) — the neural tagger's softmax replaces these when
+    plugged in (ml_model.py:346-350)."""
+    return f"""
+    aggregate(
+      {toks_expr},
+      named_struct('open', false, 'labs', CAST(array() AS {_LAB_ARR_T})),
+      (acc, t) -> CASE
+        WHEN array_contains({_start_set_expr()}, t.token) THEN named_struct(
+          'open', true,
+          'labs', concat(acc.labs, array(named_struct(
+            'token', t.token, 'tok_start', t.tok_start, 'tok_end', t.tok_end,
+            'label', 'B-ADDRESS', 'conf', CAST({CONF_ADDRESS} AS DOUBLE)))))
+        WHEN acc.open AND t.token RLIKE '{CONT_REGEX.replace(chr(92), chr(92) * 2)}' THEN named_struct(
+          'open', true,
+          'labs', concat(acc.labs, array(named_struct(
+            'token', t.token, 'tok_start', t.tok_start, 'tok_end', t.tok_end,
+            'label', 'I-ADDRESS', 'conf', CAST({CONF_ADDRESS} AS DOUBLE)))))
+        ELSE named_struct(
+          'open', false,
+          'labs', concat(acc.labs, array(named_struct(
+            'token', t.token, 'tok_start', t.tok_start, 'tok_end', t.tok_end,
+            'label', 'O', 'conf', CAST({CONF_OTHER} AS DOUBLE)))))
+        END,
+      acc -> acc.labs)
+    """.strip()
+
+
+def merge_spans_expr(labeled_expr: str) -> str:
+    """Array fold replicating the reference BIO→span state machine
+    (ml_model.py:352-437) exactly:
+
+    - B: flush any open span, then open a new one;
+    - I: extend UNCONDITIONALLY — after O/start with no B, a bare-I run still
+      opens a span (the reference appends with no open check,
+      ml_model.py:393-398);
+    - O: flush; trailing open span flushed by the finish lambda
+      (ml_model.py:421-435).
+
+    Span start = first member token's tok_start, end = last member's tok_end,
+    confidence = mean of member confidences (ml_model.py:369-372)."""
+    zero = (
+        "named_struct('cs', -1, 'ce', -1, 'sm', CAST(0 AS DOUBLE), 'n', 0, "
+        f"'spans', CAST(array() AS {_SPAN_ARR_T}))"
+    )
+    flush = (
+        "CASE WHEN acc.n > 0 THEN concat(acc.spans, array(named_struct("
+        "'m_start', acc.cs, 'm_end', acc.ce, 'confidence', acc.sm / acc.n)))"
+        " ELSE acc.spans END"
+    )
+    return f"""
+    aggregate(
+      {labeled_expr},
+      {zero},
+      (acc, x) -> CASE
+        WHEN x.label = 'B-ADDRESS' THEN named_struct(
+          'cs', x.tok_start, 'ce', x.tok_end, 'sm', x.conf, 'n', 1,
+          'spans', {flush})
+        WHEN x.label = 'I-ADDRESS' THEN CASE WHEN acc.n > 0
+          THEN named_struct('cs', acc.cs, 'ce', x.tok_end,
+                            'sm', acc.sm + x.conf, 'n', acc.n + 1,
+                            'spans', acc.spans)
+          ELSE named_struct('cs', x.tok_start, 'ce', x.tok_end,
+                            'sm', x.conf, 'n', 1, 'spans', acc.spans)
+          END
+        ELSE named_struct('cs', -1, 'ce', -1, 'sm', CAST(0 AS DOUBLE), 'n', 0,
+                          'spans', {flush})
+        END,
+      acc -> {flush})
+    """.strip()
+
+
+def extract_mentions(
+    corpus: DataFrame,
+    text_col: str = "content",
+    key_cols: Sequence[str] = ("repo", "path", "commit", "content_sha256", "doc_id"),
+) -> DataFrame:
+    """Flagship operator (the reference's POST /extract-address,
+    app/main.py:92-118, as a distributed batch stage).
+
+    Narrow plan: filter blank (P4, app/main.py:97-98) → per-row array
+    pipeline → posexplode mentions. No shuffle; whole-stage codegen."""
+    spans = merge_spans_expr(
+        labeled_tokens_expr(tokens_with_offsets_expr(text_col))
+    )
+    keys = [c for c in key_cols if c in corpus.columns]
+    exploded = (
+        corpus
+        .filter(F.length(F.trim(F.col(text_col))) > 0)  # P4 blank guard
+        .select(*keys, F.col(text_col).alias("_text"), F.expr(spans).alias("_spans"))
+        .select(*keys, "_text", F.explode("_spans").alias("_m"))
+    )
+    return exploded.select(
+        *keys,
+        F.expr("substring(_text, _m.m_start + 1, _m.m_end - _m.m_start)").alias(
+            "mention_text"
+        ),
+        F.col("_m.m_start").alias("m_start"),
+        F.col("_m.m_end").alias("m_end"),
+        F.col("_m.confidence").alias("confidence"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pluggable-tagger path (mapInPandas) — reference-exact twin
+# --------------------------------------------------------------------------
+
+class Tagger(Protocol):
+    """Per-batch tagger contract (SURVEY.md §7.5): given texts, return for
+    each text the token offsets, BIO labels, and per-token confidences."""
+
+    def tag(
+        self, texts: pd.Series
+    ) -> Iterator[tuple[list[tuple[str, int, int]], list[str], list[float]]]:
+        ...
+
+
+class LexiconRegexTagger:
+    """Deterministic tagger — executor-local, stateless, cheap. The sandbox
+    default and the oracle's twin."""
+
+    def tag(self, texts):
+        from .. import oracle
+
+        for text in texts:
+            toks = oracle.tokenize_ws(text)
+            labels = oracle.lexicon_bio_tags(toks)
+            confs = oracle.token_confidences(labels)
+            yield toks, labels, confs
+
+
+class NeuralTagger:
+    """RoBERTa+BiLSTM+CRF tagger per reference ml_model.py:58-247. Requires
+    torch + transformers (not available in this sandbox); loads weights as an
+    executor-local singleton inside the Python worker (one load per worker,
+    reference's global-instance pattern, ml_model.py:470-471)."""
+
+    def __init__(self, model_path: str):
+        try:
+            import torch  # noqa: F401
+            import transformers  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "NeuralTagger needs torch+transformers; use LexiconRegexTagger "
+                "in this environment"
+            ) from e
+        self.model_path = model_path  # pragma: no cover
+
+    def tag(self, texts):  # pragma: no cover
+        raise NotImplementedError("neural inference not available in sandbox")
+
+
+def extract_mentions_pandas(
+    corpus: DataFrame,
+    text_col: str = "content",
+    key_cols: Sequence[str] = ("repo", "path", "commit", "content_sha256", "doc_id"),
+    tagger_factory=LexiconRegexTagger,
+) -> DataFrame:
+    """mapInPandas variant: Arrow-batched, exact imperative port of the
+    reference decode (via the oracle). Used as the pluggable-tagger seam and
+    as a large-scale cross-check of the SQL path."""
+    from .. import oracle
+
+    keys = [c for c in key_cols if c in corpus.columns]
+    src = corpus.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        *keys, F.col(text_col).alias("_text")
+    )
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in src.schema.fields if f.name != "_text")
+    out_schema = (
+        f"{fields}, mention_text string, m_start int, m_end int, confidence double"
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tagger = tagger_factory()  # executor-local, once per task
+        for pdf in batches:
+            rows = []
+            tagged = tagger.tag(pdf["_text"])
+            for (_, row), (toks, labels, confs) in zip(pdf.iterrows(), tagged):
+                for m in oracle.merge_spans(row["_text"], toks, labels, confs):
+                    out = {k: row[k] for k in keys}
+                    out.update(
+                        mention_text=m.text, m_start=m.start, m_end=m.end,
+                        confidence=m.confidence,
+                    )
+                    rows.append(out)
+            cols = keys + ["mention_text", "m_start", "m_end", "confidence"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(process, schema=out_schema)

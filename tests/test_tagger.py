@@ -1,0 +1,129 @@
+"""SQL-HOF tagger path vs pure-Python oracle — row-for-row equality."""
+
+import pandas as pd
+
+from extract_address_ner_spark import oracle
+from extract_address_ner_spark.operators.tagger import (
+    CONT_REGEX,
+    extract_mentions,
+    extract_mentions_pandas,
+)
+from extract_address_ner_spark.sources.admin_regions import start_region_names
+
+# Reference sample fixture texts (app/utils/preprocess.py:77-139) + edge cases
+TEXTS = [
+    "내일 서울특별시 강남구 테헤란로 123번길 45에서 회의가 있습니다.",
+    "경기도 성남시 분당구 판교역로 235 에서 만나자",
+    "우리 집은 제주특별자치도 서귀포시 123-45입니다",
+    "서울시 강남구 123길은 존재하지 않는 주소입니다",
+    "경기도 신도시에서 저녁을 먹었어요",
+    "부산광역시 해운대구 해운대해변로 264",
+    "경상북도 경주시 보문로 507",
+    "인천광역시 중구 월미로 329",
+    "도로명주소가 아니라 그냥 동네 이름입니다",
+    "서울시 강동구 어딘가에 살고 있어요",
+    # edge cases
+    "서울특별시",  # single start token, trailing flush
+    "서울특별시 부산광역시 해운대구 264",  # B immediately after B (flush+reopen)
+    "x 서울특별시  강남구   테헤란로 y",  # multi-space runs
+    "hello world no address here",
+    "경기도 성남시 분당구 판교역로 235 그리고 인천광역시 중구 월미로 329",  # two spans
+    "",  # filtered by blank guard
+    "   ",  # filtered by blank guard
+]
+
+
+def oracle_mentions(texts):
+    out = set()
+    for i, t in enumerate(texts):
+        if not t.strip():
+            continue
+        for m in oracle.extract_addresses(t):
+            out.add((i, m.text, m.start, m.end, round(m.confidence, 9)))
+    return out
+
+
+def spark_mentions(df_rows):
+    return {
+        (r["doc_id"], r["mention_text"], r["m_start"], r["m_end"],
+         round(r["confidence"], 9))
+        for r in df_rows
+    }
+
+
+def _mk_df(spark):
+    pdf = pd.DataFrame({"doc_id": range(len(TEXTS)), "content": TEXTS})
+    return spark.createDataFrame(pdf)
+
+
+def test_oracle_reference_fixtures():
+    """The lexicon tagger finds the planted gold spans of the reference
+    positive fixtures that align with whitespace-token boundaries."""
+    ms = oracle.extract_addresses("경기도 성남시 분당구 판교역로 235 에서 만나자")
+    assert [(m.text, m.start, m.end) for m in ms] == [
+        # NB: the reference's hand-written fixture says end=23
+        # (preprocess.py:88) but the address is 20 chars — the fixture's gold
+        # offsets are approximate; exact offsets are what our generator plants.
+        ("경기도 성남시 분당구 판교역로 235", 0, 20)
+    ]
+    assert abs(ms[0].confidence - 0.85) < 1e-12
+    # negative fixtures: the raw tagger may emit short spans (a bare region
+    # token opens a span, like the untrained reference model can) — the
+    # structural validation gate drops them downstream (operators.validate).
+    got = oracle.extract_addresses("경기도 신도시에서 저녁을 먹었어요")
+    assert [(m.text, m.start, m.end) for m in got] == [("경기도", 0, 3)]
+    # no start-lexicon token at all → no span
+    assert oracle.extract_addresses("도로명주소가 아니라 그냥 동네 이름입니다") == []
+
+
+def test_slice_identity():
+    """mention.text == text[start:end] — reference ml_model.py:369."""
+    for t in TEXTS:
+        for m in oracle.extract_addresses(t):
+            assert m.text == t[m.start : m.end]
+
+
+def test_sql_path_equals_oracle(spark):
+    got = spark_mentions(extract_mentions(_mk_df(spark)).collect())
+    assert got == oracle_mentions(TEXTS)
+    assert len(got) > 0
+
+
+def test_pandas_path_equals_oracle(spark):
+    got = spark_mentions(extract_mentions_pandas(_mk_df(spark)).collect())
+    assert got == oracle_mentions(TEXTS)
+
+
+def test_regex_and_lexicon_in_sync():
+    assert CONT_REGEX == oracle._CONT_RE.pattern
+    assert start_region_names() >= oracle.START_REGIONS
+
+
+def test_bare_i_quirk():
+    """An I run with no preceding B still yields a span on flush
+    (ml_model.py:393-398). Exercise merge_spans directly with forced labels."""
+    text = "abc def"
+    toks = oracle.tokenize_ws(text)
+    ms = oracle.merge_spans(text, toks, ["I-ADDRESS", "O"], [0.5, 0.1])
+    assert [(m.text, m.start, m.end, m.confidence) for m in ms] == [
+        ("abc", 0, 3, 0.5)
+    ]
+
+
+def test_bio_inclusion_rule():
+    """T2: token fully inside [start, end) — preprocess.py:182-198. The
+    partially-covered token 45에서 of sample row 1 stays O."""
+    t = "내일 서울특별시 강남구 테헤란로 123번길 45에서 회의가 있습니다."
+    toks = oracle.tokenize_ws(t)
+    # exact address span is [3, 26) ("…123번길 45"); the token 45에서 at
+    # [24, 28) is only partially covered → stays O under the fully-inside rule
+    labels = oracle.bio_tags_from_span(toks, 3, 26)
+    by_tok = dict(zip([x[0] for x in toks], labels))
+    assert by_tok["서울특별시"] == "B-ADDRESS"
+    assert by_tok["강남구"] == "I-ADDRESS"
+    assert by_tok["123번길"] == "I-ADDRESS"
+    assert by_tok["45에서"] == "O"
+    assert by_tok["내일"] == "O"
+    # with the fixture's looser end=28 the token is fully inside → I
+    labels28 = oracle.bio_tags_from_span(toks, 3, 28)
+    assert dict(zip([x[0] for x in toks], labels28))["45에서"] == "I-ADDRESS"
