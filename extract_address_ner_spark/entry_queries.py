@@ -1,0 +1,233 @@
+"""Registry of driver-checkable queries: (Spark callable, DuckDB oracle SQL).
+
+Every implemented operator from SURVEY.md §2 gets an entry here; the round
+driver runs the Spark callable at sf=0.01 and compares row-count + schema +
+order-insensitive value-hash against the oracle SQL (DuckDB over the same
+parquet views). Column names/types are aligned on both sides by construction.
+
+Oracle philosophy: for pipeline stages over the planted corpus, the oracle is
+ground truth BY CONSTRUCTION (the corpus derivation plants addresses at
+SQL-computable offsets — sources/corpus.py); for relational operators the
+oracle is the straightforward ANSI formulation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.canonicalize import canonicalize_mentions
+from .operators.link import build_edges, build_nodes, repo_mention_counts
+from .operators.tagger import extract_mentions, extract_mentions_pandas
+from .operators.validate import road_address_gate, validate_addresses
+from .sources import corpus as C
+from .sources.admin_regions import hierarchy_edges, name_to_region_id
+
+DUCK_SHA = "sha256({})"
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL builders for the planted-corpus pipeline stages
+# ---------------------------------------------------------------------------
+
+def _canonical_cols_sql() -> tuple[str, str]:
+    """(canonical_addr expr, region_id expr) for the planted rows, as SQL
+    over the _shaped CTE columns (doc_id, addr). The alias-variant rows
+    (doc_id % 30 == 0) canonicalize back to PLANTED_ADDRESSES[0]; region is
+    keyed by doc_id % 5 (alias rows are index 0, consistent)."""
+    inner = C.inner_addr_case()
+    canonical_addr = (
+        f"CASE WHEN doc_id % 30 = 0 THEN '{C.ALIAS_VARIANT_CANONICAL}' "
+        f"ELSE {inner} END"
+    )
+    n2r = name_to_region_id()
+    whens = " ".join(
+        f"WHEN {i} THEN '{n2r[a.split(' ')[0]]}'"
+        for i, a in enumerate(C.PLANTED_ADDRESSES[:-1])
+    )
+    region = (
+        f"CASE CAST(doc_id % 5 AS INT) {whens} "
+        f"ELSE '{n2r[C.PLANTED_ADDRESSES[-1].split(' ')[0]]}' END"
+    )
+    return canonical_addr, region
+
+
+def gold_canonical_sql(sha256_fn: str = DUCK_SHA) -> str:
+    ca, region = _canonical_cols_sql()
+    return (
+        C.with_shape("documents")
+        + f"""
+SELECT repo, path, commit, addr AS mention_text,
+       CAST(m_start AS INT) AS m_start,
+       CAST(m_start + length(addr) AS INT) AS m_end,
+       CAST(0.85 AS DOUBLE) AS confidence,
+       {sha256_fn.format('content')} AS content_sha256, doc_id,
+       {region} AS region_id,
+       {ca} AS canonical_addr,
+       'kaddr:' || replace({ca}, ' ', '/') AS canonical_id
+FROM _shaped WHERE m_start >= 0"""
+    )
+
+
+def gold_edges_sql() -> str:
+    ca, region = _canonical_cols_sql()
+    backbone = " UNION ALL ".join(
+        f"SELECT '{s}' AS subj, '{p}' AS pred, '{o}' AS obj, CAST(1.0 AS DOUBLE) AS confidence"
+        for s, p, o in hierarchy_edges()
+    )
+    return (
+        C.with_shape("documents")
+        + f""",
+_canon AS (
+  SELECT repo, path, doc_id,
+         'kaddr:' || replace({ca}, ' ', '/') AS canonical_id,
+         {region} AS region_id
+  FROM _shaped WHERE m_start >= 0
+)
+SELECT subj, pred, obj, confidence FROM (
+  SELECT repo || ':' || path AS subj, 'mentions_address' AS pred,
+         canonical_id AS obj, CAST(0.85 AS DOUBLE) AS confidence
+  FROM _canon GROUP BY 1, 2, 3, 4
+  UNION ALL
+  SELECT DISTINCT canonical_id AS subj, 'located_in' AS pred,
+         region_id AS obj, CAST(1.0 AS DOUBLE) AS confidence
+  FROM _canon
+  UNION ALL
+  {backbone}
+)"""
+    )
+
+
+def gold_validate_sql() -> str:
+    """P7 applied to the distinct planted mention texts — DuckDB
+    regexp_matches ≙ Python re.search ≙ Spark rlike (partial match)."""
+    from .operators.validate import VALID_PATTERNS
+
+    any_match = " OR ".join(
+        f"regexp_matches(mention_text, '{p}')" for p in VALID_PATTERNS
+    )
+    return (
+        C.with_shape("documents")
+        + f""",
+_m AS (SELECT DISTINCT addr AS mention_text FROM _shaped WHERE m_start >= 0)
+SELECT mention_text, ({any_match}) AS is_valid,
+       CASE WHEN {any_match} THEN CAST(0.85 AS DOUBLE)
+            ELSE CAST(0.15 AS DOUBLE) END AS valid_confidence
+FROM _m"""
+    )
+
+
+def gold_repo_counts_sql() -> str:
+    return (
+        C.with_shape("documents")
+        + """
+SELECT repo, count(*) AS n_mentions
+FROM _shaped WHERE m_start >= 0 GROUP BY repo"""
+    )
+
+
+def gold_nodes_sql() -> str:
+    """Node ids + types (attrs map is checked Spark-side in tests; the driver
+    compare uses scalar columns only)."""
+    ca, _region = _canonical_cols_sql()
+    from .sources.admin_regions import ADMIN_REGIONS
+
+    regions = " UNION ALL ".join(
+        f"SELECT '{rid}' AS node_id, 'admin_region' AS node_type"
+        for rid, _n, _l, _p, _a in ADMIN_REGIONS
+    )
+    return (
+        C.with_shape("documents")
+        + f""",
+_canon AS (
+  SELECT repo, path, 'kaddr:' || replace({ca}, ' ', '/') AS canonical_id
+  FROM _shaped WHERE m_start >= 0
+)
+SELECT node_id, node_type FROM (
+  SELECT DISTINCT repo || ':' || path AS node_id, 'file' AS node_type FROM _canon
+  UNION ALL
+  SELECT DISTINCT canonical_id AS node_id, 'address' AS node_type FROM _canon
+  UNION ALL
+  {regions}
+)"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+@register("corpus_derivation", C.corpus_sql(sha256_fn=DUCK_SHA))
+def q_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.corpus_from_documents(spark, sf_dir)
+
+
+@register("extract_mentions", C.gold_mentions_sql(sha256_fn=DUCK_SHA))
+def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: SQL-HOF tokenize → BIO tag → span merge (narrow plan)."""
+    return extract_mentions(C.corpus_from_documents(spark, sf_dir))
+
+
+@register("extract_mentions_pandas", C.gold_mentions_sql(sha256_fn=DUCK_SHA))
+def q_mentions_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable-tagger path: mapInPandas exact port of reference decode."""
+    return extract_mentions_pandas(C.corpus_from_documents(spark, sf_dir))
+
+
+@register("validate_address", gold_validate_sql())
+def q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 regex validation, faithful to app/utils/preprocess.py:282-295."""
+    m = extract_mentions(C.corpus_from_documents(spark, sf_dir))
+    return validate_addresses(
+        m.select("mention_text").distinct(), "mention_text"
+    )
+
+
+@register("canonicalize_mentions", gold_canonical_sql())
+def q_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = extract_mentions(C.corpus_from_documents(spark, sf_dir))
+    gated = road_address_gate(m)
+    return canonicalize_mentions(gated)
+
+
+@register("graph_edges", gold_edges_sql())
+def q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = extract_mentions(C.corpus_from_documents(spark, sf_dir))
+    return build_edges(canonicalize_mentions(road_address_gate(m)))
+
+
+@register("graph_nodes", gold_nodes_sql())
+def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = extract_mentions(C.corpus_from_documents(spark, sf_dir))
+    nodes = build_nodes(canonicalize_mentions(road_address_gate(m)))
+    return nodes.select("node_id", "node_type")  # attrs map checked in tests
+
+
+@register("repo_mention_counts", gold_repo_counts_sql())
+def q_repo_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase hot-key aggregation (mega-repo skew)."""
+    m = extract_mentions(C.corpus_from_documents(spark, sf_dir))
+    return repo_mention_counts(m).withColumn(
+        "n_mentions", F.col("n_mentions").cast("long")
+    )

@@ -1,0 +1,141 @@
+"""Entity linking + graph materialization (SURVEY.md §2.9, north_star).
+
+Produces the KG tables:
+
+- ``edges(subj, pred, obj, confidence)`` with pred ∈
+  {mentions_address, located_in}
+- ``nodes(node_id, node_type, attrs)`` with node_type ∈
+  {file, address, admin_region}
+
+Skew: repos are Zipf-distributed (one mega-repo can hold ~half the corpus)
+and canonical address ids are few and hot. Aggregations keyed on either are
+therefore two-phase SALTED: partial aggregate on (key, salt) — map-side
+combine spreads the hot key over ``n_salts`` reducers — then final aggregate
+on key. ``salted_agg`` is the generic operator; AQE skew-join splitting
+covers the join side (session.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.admin_regions import hierarchy_edges
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: Sequence[Column],
+    final_aggs: Sequence[Column],
+    n_salts: int = 16,
+    salt_seed: int = 42,
+) -> DataFrame:
+    """Two-phase aggregation defeating hot-key skew.
+
+    ``partial_aggs`` aggregate within (keys, salt); ``final_aggs`` combine the
+    partials per key (they see the partial columns by alias). The salt is a
+    deterministic hash of a row-unique expression, not rand() — re-runs are
+    identical (FIXTURES.md: no unseeded randomness).
+    """
+    salt = (
+        F.abs(F.hash(*[F.col(k) for k in df.columns]) + F.lit(salt_seed))
+        % n_salts
+    ).alias("_salt")
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def mention_edges(canonical_mentions: DataFrame) -> DataFrame:
+    """(repo:path, mentions_address, canonical_id) triples, deduped with max
+    confidence per triple. Generalizes the reference's D5 result rows into the
+    edge table (reference result shape: app/models/address.py:9-13)."""
+    m = canonical_mentions.filter(F.col("canonical_id").isNotNull())
+    return salted_agg(
+        m.select(
+            F.concat_ws(":", "repo", "path").alias("subj"),
+            F.lit("mentions_address").alias("pred"),
+            F.col("canonical_id").alias("obj"),
+            F.col("confidence"),
+        ),
+        keys=("subj", "pred", "obj"),
+        partial_aggs=[F.max("confidence").alias("_pc")],
+        final_aggs=[F.max("_pc").alias("confidence")],
+    )
+
+
+def located_in_edges(canonical_mentions: DataFrame) -> DataFrame:
+    """(canonical_address, located_in, admin_region) + the static region
+    hierarchy backbone (admin_regions parent links)."""
+    spark = canonical_mentions.sparkSession
+    addr_region = (
+        canonical_mentions.filter(F.col("canonical_id").isNotNull())
+        .select(
+            F.col("canonical_id").alias("subj"),
+            F.lit("located_in").alias("pred"),
+            F.col("region_id").alias("obj"),
+        )
+        .dropDuplicates(["subj", "pred", "obj"])
+        .withColumn("confidence", F.lit(1.0))
+    )
+    backbone = spark.createDataFrame(
+        hierarchy_edges(), "subj string, pred string, obj string"
+    ).withColumn("confidence", F.lit(1.0))
+    return addr_region.unionByName(backbone)
+
+
+def build_edges(canonical_mentions: DataFrame) -> DataFrame:
+    return mention_edges(canonical_mentions).unionByName(
+        located_in_edges(canonical_mentions)
+    )
+
+
+def build_nodes(canonical_mentions: DataFrame) -> DataFrame:
+    """nodes(node_id, node_type, attrs map<string,string>)."""
+    spark = canonical_mentions.sparkSession
+    m = canonical_mentions.filter(F.col("canonical_id").isNotNull())
+    files = (
+        m.select(
+            F.concat_ws(":", "repo", "path").alias("node_id"),
+            F.col("repo"),
+        )
+        .dropDuplicates(["node_id"])
+        .select(
+            "node_id",
+            F.lit("file").alias("node_type"),
+            F.create_map(F.lit("repo"), F.col("repo")).alias("attrs"),
+        )
+    )
+    addrs = (
+        m.select(F.col("canonical_id").alias("node_id"), F.col("canonical_addr"))
+        .dropDuplicates(["node_id"])
+        .select(
+            "node_id",
+            F.lit("address").alias("node_type"),
+            F.create_map(F.lit("text"), F.col("canonical_addr")).alias("attrs"),
+        )
+    )
+    from ..sources.admin_regions import ADMIN_REGIONS
+
+    regions = spark.createDataFrame(
+        [(rid, name) for rid, name, _lvl, _p, _a in ADMIN_REGIONS],
+        "node_id string, name string",
+    ).select(
+        "node_id",
+        F.lit("admin_region").alias("node_type"),
+        F.create_map(F.lit("name"), F.col("name")).alias("attrs"),
+    )
+    return files.unionByName(addrs).unionByName(regions)
+
+
+def repo_mention_counts(canonical_mentions: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Per-repo mention counts — the canonical hot-key aggregation (the
+    mega-repo holds ~half the rows), done salted two-phase."""
+    return salted_agg(
+        canonical_mentions.select("repo"),
+        keys=("repo",),
+        partial_aggs=[F.count(F.lit(1)).alias("_pc")],
+        final_aggs=[F.sum("_pc").alias("n_mentions")],
+    )

@@ -53,12 +53,19 @@ LANG_MAP = [("en", "python", ".py"), ("fr", "javascript", ".js"),
 MID_PREFIX = 20
 
 
-def _addr_case() -> str:
+def inner_addr_case() -> str:
+    """The doc_id % 5 → canonical planted address CASE (no alias variant)."""
     inner_whens = " ".join(
         f"WHEN {i} THEN '{a}'" for i, a in enumerate(PLANTED_ADDRESSES[:-1])
     )
-    inner = f"CASE CAST(doc_id % 5 AS INT) {inner_whens} ELSE '{PLANTED_ADDRESSES[-1]}' END"
-    return f"CASE WHEN doc_id % 30 = 0 THEN '{ALIAS_VARIANT}' ELSE {inner} END"
+    return f"CASE CAST(doc_id % 5 AS INT) {inner_whens} ELSE '{PLANTED_ADDRESSES[-1]}' END"
+
+
+def _addr_case() -> str:
+    return (
+        f"CASE WHEN doc_id % 30 = 0 THEN '{ALIAS_VARIANT}' "
+        f"ELSE {inner_addr_case()} END"
+    )
 
 
 def _lang_case(col: str) -> str:
@@ -89,6 +96,12 @@ _SHAPE = f"""
       WHEN 0 THEN 0 WHEN 1 THEN {MID_PREFIX + 1} ELSE -1
     END AS m_start
 """.strip()
+
+
+def with_shape(documents: str = "documents") -> str:
+    """Public composition point: the _planted/_shaped CTE prefix shared by
+    every oracle-SQL builder (entry_queries)."""
+    return _with_shape(documents)
 
 
 def _with_shape(documents: str) -> str:

@@ -1,0 +1,112 @@
+"""Validation, canonicalization, linking, graph materialization."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from extract_address_ner_spark import oracle
+from extract_address_ner_spark.operators.canonicalize import canonicalize_mentions
+from extract_address_ner_spark.operators.link import (
+    build_edges,
+    build_nodes,
+    salted_agg,
+)
+from extract_address_ner_spark.operators.tagger import extract_mentions
+from extract_address_ner_spark.operators.validate import (
+    road_address_gate,
+    validate_addresses,
+)
+from extract_address_ner_spark.sources import corpus as C
+from extract_address_ner_spark.sources.admin_regions import hierarchy_edges
+
+
+def test_validate_matches_reference_oracle(spark):
+    """Spark rlike validation == pure-Python re.search oracle (P7), on
+    positives, negatives, and the quirky '서울시 강동구'-style accepts."""
+    texts = C.PLANTED_ADDRESSES + [
+        C.ALIAS_VARIANT,
+        "서울시 강동구",
+        "경기도",
+        "서울시 강남구 신사동 123길",
+        "경기도 성남시 분당동",
+        "hello world",
+        "부산광역시 해운대구 우동 센텀로",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"mention_text": texts}))
+    got = {
+        r["mention_text"]: (r["is_valid"], r["valid_confidence"])
+        for r in validate_addresses(df).collect()
+    }
+    for t in texts:
+        want_valid, want_conf = oracle.validate_address_pattern(t)
+        assert got[t] == (want_valid, want_conf), t
+
+
+def test_road_gate(spark):
+    keep = C.PLANTED_ADDRESSES + [C.ALIAS_VARIANT]
+    drop = ["경기도", "서울시 강동구", "서울특별시 강남구"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"mention_text": keep + drop})
+    )
+    got = {r["mention_text"] for r in road_address_gate(df).collect()}
+    assert got == set(keep)
+
+
+def test_canonicalize_alias_expansion(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"mention_text": [C.ALIAS_VARIANT, C.PLANTED_ADDRESSES[1],
+                                       "모름 어딘가 123로"]})
+    )
+    rows = {r["mention_text"]: r for r in canonicalize_mentions(df).collect()}
+    assert rows[C.ALIAS_VARIANT]["canonical_addr"] == C.ALIAS_VARIANT_CANONICAL
+    assert rows[C.ALIAS_VARIANT]["region_id"] == "kr/seoul"
+    assert rows[C.ALIAS_VARIANT]["canonical_id"] == (
+        "kaddr:" + C.ALIAS_VARIANT_CANONICAL.replace(" ", "/")
+    )
+    assert rows[C.PLANTED_ADDRESSES[1]]["region_id"] == "kr/gyeonggi"
+    # unknown leading token → NULLs, row kept
+    assert rows["모름 어딘가 123로"]["canonical_id"] is None
+
+
+def test_salted_agg_equals_plain(spark):
+    df = C.synthesize_corpus(spark, 2000, seed=1)
+    plain = {
+        (r["repo"], r["n"]) for r in
+        df.groupBy("repo").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        (r["repo"], r["n"]) for r in
+        salted_agg(
+            df.select("repo"), ("repo",),
+            [F.count(F.lit(1)).alias("_p")], [F.sum("_p").alias("n")],
+        ).withColumn("n", F.col("n").cast("long")).collect()
+    }
+    assert salted == plain
+
+
+def test_edges_and_nodes(spark, sf_smoke):
+    m = extract_mentions(C.corpus_from_documents(spark, sf_smoke))
+    cm = canonicalize_mentions(road_address_gate(m))
+    edges = build_edges(cm).collect()
+    preds = {r["pred"] for r in edges}
+    assert preds == {"mentions_address", "located_in"}
+    # backbone present
+    backbone = set(hierarchy_edges())
+    got_located = {(r["subj"], r["pred"], r["obj"]) for r in edges
+                   if r["pred"] == "located_in"}
+    assert backbone <= got_located
+    # triples unique
+    keys = [(r["subj"], r["pred"], r["obj"]) for r in edges]
+    assert len(keys) == len(set(keys))
+    # every mention edge subject is a file node, every object an address node
+    nodes = build_nodes(cm).collect()
+    by_type = {}
+    for r in nodes:
+        by_type.setdefault(r["node_type"], set()).add(r["node_id"])
+    for r in edges:
+        if r["pred"] == "mentions_address":
+            assert r["subj"] in by_type["file"]
+            assert r["obj"] in by_type["address"]
+    # attrs maps populated
+    attrs = {r["node_id"]: r["attrs"] for r in nodes}
+    some_addr = next(iter(by_type["address"]))
+    assert "text" in attrs[some_addr]
