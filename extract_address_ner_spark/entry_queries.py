@@ -224,6 +224,36 @@ def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.select("node_id", "node_type")  # attrs map checked in tests
 
 
+def gold_prf_sql() -> str:
+    """The north-metric eval run against the by-construction gold: the
+    pipeline recovers exactly the planted spans, so P = R = F1 = 1.0 and all
+    three counts equal the planted-mention count. The Spark side genuinely
+    computes the full-outer-join harness."""
+    return (
+        C.with_shape("documents")
+        + """
+SELECT CAST(count(*) AS BIGINT) AS n_pred,
+       CAST(count(*) AS BIGINT) AS n_gold,
+       CAST(count(*) AS BIGINT) AS matched,
+       CAST(1.0 AS DOUBLE) AS accuracy,
+       CAST(1.0 AS DOUBLE) AS precision,
+       CAST(1.0 AS DOUBLE) AS recall,
+       CAST(1.0 AS DOUBLE) AS f1
+FROM _shaped WHERE m_start >= 0"""
+    )
+
+
+@register("span_prf_eval", gold_prf_sql())
+def q_span_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 span-level P/R/F1 harness (train_service.py:423-485 join
+    semantics): pipeline mentions vs planted gold."""
+    from .plans.evaluate import span_prf
+
+    pred = extract_mentions(C.corpus_from_documents(spark, sf_dir))
+    gold = C.gold_mentions_from_documents(spark, sf_dir)
+    return span_prf(pred, gold)
+
+
 @register("repo_mention_counts", gold_repo_counts_sql())
 def q_repo_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase hot-key aggregation (mega-repo skew)."""
