@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from extract_address_ner_spark import entry_queries as EQ  # noqa: E402
+from extract_address_ner_spark import entry_queries_data  # noqa: E402,F401  (registers data-pipeline queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,443 @@
+"""Driver-checkable queries for the training-data-pipeline operators:
+text analysis, dedup (exact / MinHash / LSH / Jaccard / SimHash / embedding),
+and ANN similarity search. Registered into the same registry as the KG
+pipeline queries (entry_queries.register).
+
+Dup-corpus derivations: ``dup_documents`` adds exact copies (doc_id % 7,
++200000) and near copies ('DUP ' prefix, doc_id % 5, +100000) so dedup
+operators have real work; ``dup_embeddings`` adds exact copies and
+first-component-zeroed near copies. Both derivations are expressed in each
+engine's SQL so the oracle sees the identical input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .entry_queries import register
+from .functions.textstats import (
+    STOPWORDS,
+    with_fingerprints,
+    with_lang_id,
+    with_quality_score,
+    with_token_stats,
+)
+from .operators import ann, dedup
+from .sources.corpus import register_documents
+
+# --------------------------------------------------------------------------
+# shared input derivations
+# --------------------------------------------------------------------------
+
+DUP_DOCS_SPARK = """
+SELECT doc_id, text FROM documents
+UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+UNION ALL SELECT doc_id + 100000 AS doc_id, 'DUP ' || text AS text FROM documents WHERE doc_id % 5 = 0
+""".strip()
+
+DUP_DOCS_DUCK = DUP_DOCS_SPARK  # identical dialect subset
+
+
+def dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_documents(spark, sf_dir)
+    return spark.sql(DUP_DOCS_SPARK)
+
+
+DUP_EMB_SPARK = """
+SELECT vec_id, CAST(embedding AS array<double>) AS embedding FROM embeddings
+UNION ALL SELECT vec_id + 100000 AS vec_id, CAST(embedding AS array<double>) AS embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+UNION ALL SELECT vec_id + 200000 AS vec_id,
+  concat(array(CAST(0 AS DOUBLE)), slice(CAST(embedding AS array<double>), 2, size(embedding) - 1)) AS embedding
+  FROM embeddings WHERE vec_id % 7 = 0
+""".strip()
+
+DUP_EMB_DUCK = """
+SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+UNION ALL SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+UNION ALL SELECT vec_id + 200000 AS vec_id,
+  [CAST(0 AS DOUBLE)] || (CAST(embedding AS DOUBLE[]))[2:len(embedding)] AS embedding
+  FROM embeddings WHERE vec_id % 7 = 0
+""".strip()
+
+
+def dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(DUP_EMB_SPARK)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_documents(spark, sf_dir)
+    return spark.table("documents")
+
+
+# DuckDB helpers mirroring the Spark expressions
+_D_WORDS = "regexp_extract_all(text, '[A-Za-z]+')"
+_D_H64 = "CAST(concat('0x', substr(md5({}), 1, 15)) AS BIGINT)"
+
+
+def _d_stop_hits(words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), t -> list_contains({arr}, t)))"
+    )
+
+
+_D_SHINGLES = """
+CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+ELSE list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+END"""
+
+_D_WS = "list_filter(string_split(text, ' '), t -> len(t) > 0)"
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    f"""
+SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars_calc,
+  CAST(len({_D_WS}) AS INT) AS n_tokens_ws,
+  CAST(len({_D_WORDS}) AS INT) AS n_words,
+  CAST(round(coalesce(list_sum(list_transform({_D_WORDS}, w -> len(w))), 0)
+       / greatest(len({_D_WORDS}), 1), 4) AS DOUBLE) AS avg_word_len
+FROM documents""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_token_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars_calc", "n_tokens_ws", "n_words", "avg_word_len"
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+SELECT doc_id,
+  CAST(round({_d_stop_hits(STOPWORDS['en'])} / greatest(len({_D_WORDS}), 1), 4) AS DOUBLE) AS stop_ratio,
+  CAST(round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / greatest(length(text), 1), 4) AS DOUBLE) AS punct_ratio,
+  CAST(round(0.5 * least(1.0, len({_D_WORDS}) / 100.0)
+       + 0.25 * ({_d_stop_hits(STOPWORDS['en'])} / greatest(len({_D_WORDS}), 1))
+       + 0.25 * (1 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / greatest(length(text), 1)), 4) AS DOUBLE) AS quality
+FROM documents""",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "stop_ratio", "punct_ratio", "quality"
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[가-힣]') THEN 'ko'
+       WHEN {_d_stop_hits(STOPWORDS['en'])} >= {_d_stop_hits(STOPWORDS['fr'])}
+        AND {_d_stop_hits(STOPWORDS['en'])} >= {_d_stop_hits(STOPWORDS['de'])} THEN 'en'
+       WHEN {_d_stop_hits(STOPWORDS['fr'])} >= {_d_stop_hits(STOPWORDS['de'])} THEN 'fr'
+       ELSE 'de' END AS pred_lang
+FROM documents""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_lang_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
+
+
+@register(
+    "text_fingerprints",
+    f"""
+SELECT doc_id, sha256(text) AS fp_sha256,
+  {_D_H64.format('text')} AS fp64
+FROM documents""",
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", "fp_sha256", "fp64"
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_groups",
+    f"""
+WITH dup AS ({DUP_DOCS_DUCK})
+SELECT sha256(text) AS content_sha256,
+  CAST(count(*) AS BIGINT) AS n_copies,
+  min(doc_id) AS keeper_id
+FROM dup GROUP BY 1""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(dup_documents(spark, sf_dir))
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+WITH dup AS ({DUP_DOCS_DUCK}),
+words AS (SELECT doc_id, {_D_WS} AS ws FROM dup),
+sh AS (SELECT doc_id, {_D_SHINGLES} AS shingles FROM words),
+expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+SELECT doc_id, CAST(j AS INT) AS h_idx,
+  min({_D_H64.format("concat(j, ':', s)")}) AS minhash
+FROM expl CROSS JOIN generate_series(0, 15) t(j)
+GROUP BY doc_id, j""",
+)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(dup_documents(spark, sf_dir))
+
+
+@register(
+    "dedup_lsh_pairs",
+    f"""
+WITH dup AS ({DUP_DOCS_DUCK}),
+words AS (SELECT doc_id, {_D_WS} AS ws FROM dup),
+sh AS (SELECT doc_id, {_D_SHINGLES} AS shingles FROM words),
+expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (SELECT doc_id, j, min({_D_H64.format("concat(j, ':', s)")}) AS mh
+        FROM expl CROSS JOIN generate_series(0, 15) t(j) GROUP BY doc_id, j),
+sigarr AS (SELECT doc_id, list(mh ORDER BY j) AS sl FROM sig GROUP BY doc_id),
+bands AS (SELECT doc_id, b AS band_idx,
+          md5(array_to_string(sl[b*4+1:b*4+4], ',')) AS band_sig
+          FROM sigarr CROSS JOIN generate_series(0, 3) t(b))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""",
+)
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(dup_documents(spark, sf_dir))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    f"""
+WITH dup AS ({DUP_DOCS_DUCK}),
+words AS (SELECT doc_id, {_D_WS} AS ws FROM dup),
+sh AS (SELECT doc_id, {_D_SHINGLES} AS shingles FROM words),
+toks AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM toks GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM toks a JOIN toks b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+  CAST(round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 4) AS DOUBLE) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.8""",
+)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(dup_documents(spark, sf_dir))
+
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH dup AS ({DUP_DOCS_DUCK}),
+words AS (SELECT doc_id, {_D_WS} AS ws FROM dup),
+sh AS (SELECT doc_id, {_D_SHINGLES} AS shingles FROM words),
+expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+bits AS (SELECT doc_id, b,
+         sum(CASE WHEN ({_D_H64.format('s')} >> b) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+         FROM expl CROSS JOIN generate_series(0, 15) t(b) GROUP BY doc_id, b)
+SELECT doc_id,
+  CAST(sum(CASE WHEN sgn > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(dup_documents(spark, sf_dir))
+
+
+_D_COS = (
+    "list_cosine_similarity(a.embedding, b.embedding)"
+)
+
+
+@register(
+    "dedup_embedding_pairs",
+    f"""
+WITH dup AS ({DUP_EMB_DUCK})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  CAST(round({_D_COS}, 4) AS DOUBLE) AS cosine
+FROM dup a JOIN dup b ON a.vec_id < b.vec_id
+WHERE round({_D_COS}, 4) >= 0.95""",
+)
+def q_emb_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_dup_pairs(dup_embeddings(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# ANN similarity search
+# --------------------------------------------------------------------------
+
+_D_EMB_D = "CAST(embedding AS DOUBLE[])"
+
+
+@register(
+    "ann_brute_topk",
+    f"""
+WITH e AS (SELECT vec_id, {_D_EMB_D} AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q_id, e.vec_id AS neighbor_id,
+    CAST(round(list_cosine_similarity(qv, v), 4) AS DOUBLE) AS cosine
+  FROM e CROSS JOIN q WHERE q_id != e.vec_id),
+ranked AS (SELECT *, row_number() OVER
+  (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= 10""",
+)
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    return ann.brute_force_topk(emb, queries, k=10)
+
+
+@register("ann_lsh_topk", None)  # rows-only: bucketing is Spark-side only
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    return ann.lsh_bucket_topk(emb, queries, k=10, dim=64)
+
+
+# --------------------------------------------------------------------------
+# events: windowed aggregation + ordered retrieval (reference S6/R5)
+# --------------------------------------------------------------------------
+
+@register(
+    "events_windowed_counts",
+    """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2, 3""",
+)
+def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (the batch twin of
+    streaming.windowed_event_counts; parquet NTZ timestamps windowed
+    directly)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+@register(
+    "events_latest_n",
+    """
+SELECT event_id, ts, user_id, event_type, value
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 100""",
+)
+def q_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered retrieval top-k (reference S6: ORDER BY created_at DESC
+    LIMIT n, db_service.py:86-92 — Catalyst plans TakeOrderedAndProject)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(100).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+# --------------------------------------------------------------------------
+# window-strategy span merge (alternative physical plan, same semantics)
+# --------------------------------------------------------------------------
+
+@register(
+    "extract_mentions_window",
+    None,  # set below: gold restricted to its columns
+)
+def q_mentions_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.span_merge import extract_mentions_window
+    from .sources.corpus import corpus_from_documents
+
+    return extract_mentions_window(corpus_from_documents(spark, sf_dir))
+
+
+# attach the oracle (gold mentions projected to the window path's columns)
+from .entry_queries import _REGISTRY  # noqa: E402
+from .sources.corpus import gold_mentions_sql  # noqa: E402
+
+_REGISTRY["extract_mentions_window"] = (
+    _REGISTRY["extract_mentions_window"][0],
+    "SELECT doc_id, mention_text, m_start, m_end, confidence FROM ("
+    + gold_mentions_sql(sha256_fn="sha256({})")
+    + ")",
+)
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+_D_MH = "CAST(concat('0x', substr(md5('m' || doc_id), 1, 8)) AS BIGINT)"
+
+
+@register(
+    "media_metadata",
+    f"""
+SELECT doc_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS media_type,
+  CAST(64 + h % 1024 AS INT) AS width,
+  CAST(64 + (h // 1024) % 1024 AS INT) AS height,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + h % 300 ELSE 1 END AS INT) AS n_frames
+FROM (SELECT doc_id, {_D_MH} AS h FROM documents)""",
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import synth_media
+
+    return synth_media(_docs(spark, sf_dir)).select(
+        "doc_id", "media_type", "width", "height", "n_frames"
+    )
+
+
+@register(
+    "media_frame_sampling",
+    f"""
+WITH m AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         ELSE 'video' END AS media_type,
+    CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + h % 300 ELSE 1 END AS INT) AS n_frames
+  FROM (SELECT doc_id, {_D_MH} AS h FROM documents))
+SELECT doc_id, n_frames,
+  CAST(len(generate_series(0, n_frames - 1, 30)) AS INT) AS n_sampled
+FROM m WHERE media_type = 'video'""",
+)
+def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(_docs(spark, sf_dir)), every_n=30).select(
+        "doc_id", "n_frames", "n_sampled"
+    )
+
+
+@register("media_features", None)  # rows-only: binary → Arrow → histogram UDF
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_media_features, synth_media
+
+    feats = extract_media_features(synth_media(_docs(spark, sf_dir)))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        F.round(F.expr("aggregate(feature, CAST(0 AS DOUBLE), (a, v) -> a + v)"), 6)
+        .alias("feature_sum"),
+        F.expr("size(feature)").alias("feature_dim"),
+    )

@@ -1,0 +1,299 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each usable standalone and each with a driver-checked query in
+entry_queries:
+
+- exact:       sha256 content hash → groupBy (one shuffle on the hash; at
+               100 TB this is the cheapest possible dedup — hash computed in
+               the scan projection, map-side combine on the group).
+- MinHash:     k-word shingles → n md5-derived min-hashes per doc — computed
+               NARROW via array higher-order functions (no explode/shuffle
+               until the band join).
+- LSH:         banded minhash signatures → candidate pairs via an equi-join
+               on (band_idx, band_signature) — the scale path for near-dup:
+               candidates ∝ true duplicates, not n².
+- n-gram Jaccard: exact verification on candidates (or, small-scale, on the
+               shingle inverted index) — inter/union over distinct shingles.
+- SimHash:     16-bit sign-sum sketch, narrow HOF compute; hamming-distance
+               pairing for near-dup.
+- embedding:   cosine near-dup over an embedding column (brute pairs at test
+               scale; the ANN module's LSH buckets are the 100 TB path).
+
+All hash material derives from md5 hex prefixes so DuckDB oracles reproduce
+values exactly (cross-engine bridge: conv(substr(md5(x),1,15),16,10)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 16
+BAND_SIZE = 4
+SHINGLE_K = 3
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(content_sha256, n_copies, keeper_id) per distinct content; keeper is
+    the minimum id (deterministic)."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_sha256"), id_col)
+        .groupBy("content_sha256")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly the keeper row of each content group (min id)."""
+    keepers = exact_dup_groups(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------------
+# shingles + minhash (narrow, HOF)
+# --------------------------------------------------------------------------
+
+def shingles_expr(text_col: str, k: int = SHINGLE_K) -> str:
+    """k-word shingles as an array<string>; docs shorter than k words yield a
+    single shingle of the whole text (so every doc has ≥1 shingle)."""
+    words = f"filter(split({text_col}, ' '), t -> length(t) > 0)"
+    return f"""
+    CASE WHEN size({words}) < {k} THEN array(concat_ws(' ', {words}))
+    ELSE transform(sequence(1, size({words}) - {k - 1}),
+                   i -> concat_ws(' ', slice({words}, i, {k})))
+    END""".strip()
+
+
+def _h64(expr: str) -> str:
+    """Cross-engine 64-bit hash of a string expression (md5 hex prefix)."""
+    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def minhash_sig_expr(text_col: str, n_hashes: int = N_HASHES) -> str:
+    """array<bigint> of length n_hashes: sig[j] = min over shingles of
+    h64(j || ':' || shingle). Entirely narrow (array ops)."""
+    sh = shingles_expr(text_col)
+    return f"""
+    transform(sequence(0, {n_hashes - 1}),
+      j -> array_min(transform({sh}, s -> {_h64("concat(j, ':', s)")})))
+    """.strip()
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """Long format (id, h_idx, minhash) — the driver-checkable projection of
+    the signature matrix."""
+    sig = minhash_sig_expr(text_col, n_hashes)
+    return (
+        df.select(id_col, F.expr(sig).alias("_sig"))
+        .select(id_col, F.posexplode("_sig").alias("h_idx", "minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = N_HASHES, band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b): docs agreeing on ALL hashes
+    of any band meet in a bucket. One equi-join keyed on (band_idx,
+    band_sig) — skew-safe via AQE; bucket sizes are bounded by duplicate
+    cluster sizes, not corpus size."""
+    n_bands = n_hashes // band_size
+    sig = minhash_sig_expr(text_col, n_hashes)
+    bands = (
+        df.select(id_col, F.expr(sig).alias("_sig"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {n_bands - 1}), "
+                    f"b -> md5(concat_ws(',', slice(_sig, b * {band_size} + 1, {band_size}))))"
+                )
+            ).alias("band_idx", "band_sig"),
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index join)
+# --------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard for every pair sharing ≥1 shingle, filtered to
+    J ≥ threshold. Shuffle keyed on shingle (inverted index) then on the
+    pair — at 100 TB this runs on LSH candidates instead of the full index
+    (compose: lsh_candidate_pairs → semi-join this)."""
+    sh = shingles_expr(text_col)
+    toks = (
+        df.select(id_col, F.explode(F.array_distinct(F.expr(sh))).alias("shingle"))
+    )
+    counts = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_expr(text_col: str, bits: int = SIMHASH_BITS) -> str:
+    """bits-wide SimHash over shingles: bit b is 1 iff the sign-sum of shingle
+    hashes' bit b is positive. Narrow HOF compute."""
+    sh = shingles_expr(text_col)
+    h = _h64("s")
+    return f"""
+    aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT),
+      (acc, b) -> acc + CASE WHEN
+        aggregate({sh}, 0, (c, s) ->
+          c + CASE WHEN shiftright({h}, b) % 2 = 1 THEN 1 ELSE -1 END) > 0
+        THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+    """.strip()
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return df.select(
+        id_col, F.expr(simhash_expr(text_col)).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 4, n_blocks: int = 4, bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, with PIGEONHOLE blocking:
+    the sketch is cut into ``n_blocks`` chunks and docs meet if ANY chunk
+    matches exactly (a pair within hamming ≤ n_blocks-1 is guaranteed to
+    share a clean chunk; with max_hamming ≥ n_blocks recall is probabilistic
+    but high). Join is keyed on (chunk_idx, chunk_value) — never a cross
+    join."""
+    chunk_bits = bits // n_blocks
+    mask = (1 << chunk_bits) - 1
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunks = sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_blocks - 1}), "
+                f"c -> shiftright(simhash, c * {chunk_bits}) % {mask + 1})"
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pop = "bit_count(a.simhash ^ b.simhash)"
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("hamming", F.expr(pop))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def cosine_sim_expr(a: str, b: str) -> str:
+    """Cosine similarity of two array<float/double> columns, computed in
+    double with deterministic left-to-right summation."""
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    na = f"sqrt(aggregate({a}, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    nb = f"sqrt(aggregate({b}, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+def embedding_dup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (id_a < id_b), score rounded to 4 dp.
+    Brute-force pair join — correct baseline; compose with the ANN module's
+    LSH buckets to scale (same expression, bucketed join)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(cosine_sim_expr("_va", "_vb")), 4).cast("double"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

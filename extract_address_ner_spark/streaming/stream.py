@@ -1,0 +1,99 @@
+"""Structured Streaming front-end for the extraction pipeline.
+
+The batch operators are deliberately stateless/narrow (tagger = per-row array
+folds), so the SAME ``extract_mentions`` plan runs unchanged on a streaming
+DataFrame — incremental corpus drops (new parquet files in the ingest dir)
+flow through tokenize → BIO → span-merge → mentions with exactly-once file
+semantics from the file source + checkpoint.
+
+``windowed_event_counts`` shows the stateful side: watermarked sliding-window
+aggregation over the events table (late data bounded by the watermark), the
+canonical Structured Streaming pattern for per-window rollups.
+
+Scale notes: file-source streaming scales by maxFilesPerTrigger; the
+stateless extraction stage has no state store; the windowed agg's state is
+bounded by (watermark horizon × key cardinality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..operators.tagger import extract_mentions
+
+CORPUS_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string, "
+    "content_sha256 string, doc_id long"
+)
+
+
+def read_corpus_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(CORPUS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_extract_mentions(corpus_stream: DataFrame) -> DataFrame:
+    """The batch flagship operator applied to a stream — identical plan."""
+    return extract_mentions(corpus_stream)
+
+
+def run_stream_to_parquet(
+    mentions_stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Drain whatever input is available (batch-like trigger), exactly-once
+    into parquet. Returns the finished StreamingQuery."""
+    q = (
+        mentions_stream.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=available_now)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked windowed counts per event_type — late rows beyond the
+    watermark are dropped; state is pruned per watermark advance."""
+    w = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    # parquet timestamps arrive as TIMESTAMP_NTZ; event-time semantics
+    # (watermark) require TIMESTAMP
+    events_stream = events_stream.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_schema(spark: SparkSession, sample_path: str) -> StructType:
+    return spark.read.parquet(sample_path).schema
