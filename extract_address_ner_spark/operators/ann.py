@@ -86,6 +86,9 @@ def lsh_bucket_topk(
     recall amplification: miss prob = (1 - p^n_planes)^n_tables). Bucket
     signatures are computed narrow (HOF); the candidate join is keyed on
     (table, bucket); exact cosine rerank on candidates only."""
+    from ..session import ensure_optimizer_confs
+
+    ensure_optimizer_confs(emb.sparkSession)
     total_planes = n_planes * n_tables
     planes = hyperplanes_expr(dim, total_planes, seed)
     buckets = f"""

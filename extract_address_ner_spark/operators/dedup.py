@@ -84,12 +84,25 @@ def _h64(expr: str) -> str:
 
 def minhash_sig_expr(text_col: str, n_hashes: int = N_HASHES) -> str:
     """array<bigint> of length n_hashes: sig[j] = min over shingles of
-    h64(j || ':' || shingle). Entirely narrow (array ops)."""
-    sh = shingles_expr(text_col)
+    h64(j || ':' || shingle). Entirely narrow (array ops).
+
+    NB ``text_col`` is re-evaluated inside each of the n_hashes lambdas —
+    pass a COLUMN holding pre-computed shingles (see ``with_shingles``), not
+    the raw shingle expression, or the tokenize/shingle work runs n_hashes
+    times per row (measured 10×+ slowdown)."""
     return f"""
     transform(sequence(0, {n_hashes - 1}),
-      j -> array_min(transform({sh}, s -> {_h64("concat(j, ':', s)")})))
+      j -> array_min(transform({text_col}, s -> {_h64("concat(j, ':', s)")})))
     """.strip()
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", out_col: str = "_shingles",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Materialize the shingle array once as a column (shared subplan for
+    signature / band / jaccard stages)."""
+    return df.withColumn(out_col, F.expr(shingles_expr(text_col, k)))
 
 
 def minhash_signatures(
@@ -98,9 +111,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """Long format (id, h_idx, minhash) — the driver-checkable projection of
     the signature matrix."""
-    sig = minhash_sig_expr(text_col, n_hashes)
+    from ..session import ensure_optimizer_confs
+
+    ensure_optimizer_confs(df.sparkSession)
+    sig = minhash_sig_expr("_shingles", n_hashes)
     return (
-        df.select(id_col, F.expr(sig).alias("_sig"))
+        with_shingles(df, text_col)
+        .select(id_col, F.expr(sig).alias("_sig"))
         .select(id_col, F.posexplode("_sig").alias("h_idx", "minhash"))
     )
 
@@ -113,10 +130,14 @@ def lsh_candidate_pairs(
     of any band meet in a bucket. One equi-join keyed on (band_idx,
     band_sig) — skew-safe via AQE; bucket sizes are bounded by duplicate
     cluster sizes, not corpus size."""
+    from ..session import ensure_optimizer_confs
+
+    ensure_optimizer_confs(df.sparkSession)
     n_bands = n_hashes // band_size
-    sig = minhash_sig_expr(text_col, n_hashes)
+    sig = minhash_sig_expr("_shingles", n_hashes)
     bands = (
-        df.select(id_col, F.expr(sig).alias("_sig"))
+        with_shingles(df, text_col)
+        .select(id_col, F.expr(sig).alias("_sig"))
         .select(
             id_col,
             F.posexplode(
@@ -127,6 +148,9 @@ def lsh_candidate_pairs(
             ).alias("band_idx", "band_sig"),
         )
     )
+    # the self-join would recompute the signature DAG for each side —
+    # persist (LRU-evictable) so shingle/minhash work runs once
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -156,10 +180,14 @@ def jaccard_pairs(
     J ≥ threshold. Shuffle keyed on shingle (inverted index) then on the
     pair — at 100 TB this runs on LSH candidates instead of the full index
     (compose: lsh_candidate_pairs → semi-join this)."""
+    from ..session import ensure_optimizer_confs
+
+    ensure_optimizer_confs(df.sparkSession)
     sh = shingles_expr(text_col)
     toks = (
         df.select(id_col, F.explode(F.array_distinct(F.expr(sh))).alias("shingle"))
     )
+    toks = toks.persist()  # consumed 3x: both join sides + counts
     counts = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -200,25 +228,28 @@ def jaccard_pairs(
 SIMHASH_BITS = 16
 
 
-def simhash_expr(text_col: str, bits: int = SIMHASH_BITS) -> str:
-    """bits-wide SimHash over shingles: bit b is 1 iff the sign-sum of shingle
-    hashes' bit b is positive. Narrow HOF compute."""
-    sh = shingles_expr(text_col)
-    h = _h64("s")
-    return f"""
-    aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT),
-      (acc, b) -> acc + CASE WHEN
-        aggregate({sh}, 0, (c, s) ->
-          c + CASE WHEN shiftright({h}, b) % 2 = 1 THEN 1 ELSE -1 END) > 0
-        THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)
-    """.strip()
-
-
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    return df.select(
-        id_col, F.expr(simhash_expr(text_col)).alias("simhash")
+    # materialize shingles, then per-shingle hashes, then the bit fold —
+    # each computed once per row, not once per bit
+    return (
+        with_shingles(df, text_col)
+        .withColumn(
+            "_hashes", F.expr(f"transform(_shingles, s -> {_h64('s')})")
+        )
+        .select(
+            id_col,
+            F.expr(
+                f"""
+    aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT),
+      (acc, b) -> acc + CASE WHEN
+        aggregate(_hashes, 0, (c, h64) ->
+          c + CASE WHEN shiftright(h64, b) % 2 = 1 THEN 1 ELSE -1 END) > 0
+        THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+    """.strip()
+            ).alias("simhash"),
+        )
     )
 
 
@@ -245,6 +276,7 @@ def simhash_near_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
+    chunks = chunks.persist()  # self-join: compute the sketch once
     a = chunks.alias("a")
     b = chunks.alias("b")
     pop = "bit_count(a.simhash ^ b.simhash)"

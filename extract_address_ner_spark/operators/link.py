@@ -86,7 +86,13 @@ def located_in_edges(canonical_mentions: DataFrame) -> DataFrame:
     return addr_region.unionByName(backbone)
 
 
-def build_edges(canonical_mentions: DataFrame) -> DataFrame:
+def build_edges(canonical_mentions: DataFrame, persist: bool = True) -> DataFrame:
+    """Union of both edge families. The input subplan feeds two branches —
+    persist it (MEMORY_AND_DISK, LRU-evictable) so the extraction DAG runs
+    once, not twice. StagedPipeline callers pass persist=False since their
+    input is already a materialized parquet stage."""
+    if persist:
+        canonical_mentions = canonical_mentions.persist()
     return mention_edges(canonical_mentions).unionByName(
         located_in_edges(canonical_mentions)
     )

@@ -36,6 +36,9 @@ def tokenize_long(
 ) -> DataFrame:
     """Exploded token table with char offsets (empty tokens already dropped
     by the offset fold)."""
+    from ..session import ensure_optimizer_confs
+
+    ensure_optimizer_confs(corpus.sparkSession)
     toks = tokens_with_offsets_expr(text_col)
     keys = [c for c in key_cols if c in corpus.columns]
     return (

@@ -163,6 +163,9 @@ def extract_mentions(
 
     Narrow plan: filter blank (P4, app/main.py:97-98) → per-row array
     pipeline → posexplode mentions. No shuffle; whole-stage codegen."""
+    from ..session import ensure_optimizer_confs
+
+    ensure_optimizer_confs(corpus.sparkSession)
     spans = merge_spans_expr(
         labeled_tokens_expr(tokens_with_offsets_expr(text_col))
     )

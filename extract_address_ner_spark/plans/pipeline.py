@@ -128,7 +128,9 @@ class StagedPipeline:
             "canonical",
             lambda: canonicalize_mentions(road_address_gate(mentions)),
         )
-        edges = self._stage("edges", lambda: build_edges(canonical))
+        edges = self._stage(
+            "edges", lambda: build_edges(canonical, persist=False)
+        )
         nodes = self._stage("nodes", lambda: build_nodes(canonical))
         return {
             "corpus": corpus,

@@ -15,6 +15,27 @@ import os
 
 from pyspark.sql import SparkSession
 
+# InferFiltersFromGenerate injects `size(e) > 0 AND isnotnull(e)` beneath
+# every explode; with our higher-order-function span pipeline the generator
+# input is an expensive nested aggregate, and predicate pushdown substitutes
+# it INTO the filter — the whole tagger then runs ~3× per row (measured 4.5×
+# slowdown on the flagship query). The runtime explode already skips empty
+# arrays, so the inferred filter is pure overhead here.
+EXCLUDED_OPTIMIZER_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def ensure_optimizer_confs(spark: SparkSession) -> None:
+    """Idempotently apply session-level optimizer tweaks. Called by the HOF
+    operators too, so externally-created sessions (e.g. the verify driver's)
+    get the same plan."""
+    current = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    rules = [r for r in current.split(",") if r]
+    if EXCLUDED_OPTIMIZER_RULES not in rules:
+        rules.append(EXCLUDED_OPTIMIZER_RULES)
+        spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
+
 
 def get_spark(
     app_name: str = "kg-construct",
@@ -40,4 +61,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ensure_optimizer_confs(spark)
+    return spark
