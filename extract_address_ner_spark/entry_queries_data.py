@@ -178,6 +178,8 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_groups(dup_documents(spark, sf_dir))
 
 
+_D_BASEHASH = f"({_D_H64.format('s')} % 2147483647)"
+
 @register(
     "dedup_minhash_signatures",
     f"""
@@ -186,7 +188,7 @@ words AS (SELECT doc_id, {_D_WS} AS ws FROM dup),
 sh AS (SELECT doc_id, {_D_SHINGLES} AS shingles FROM words),
 expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
 SELECT doc_id, CAST(j AS INT) AS h_idx,
-  min({_D_H64.format("concat(j, ':', s)")}) AS minhash
+  min(((2 * j + 1) * {_D_BASEHASH} + 7919 * j) % 2147483647) AS minhash
 FROM expl CROSS JOIN generate_series(0, 15) t(j)
 GROUP BY doc_id, j""",
 )
@@ -201,7 +203,8 @@ WITH dup AS ({DUP_DOCS_DUCK}),
 words AS (SELECT doc_id, {_D_WS} AS ws FROM dup),
 sh AS (SELECT doc_id, {_D_SHINGLES} AS shingles FROM words),
 expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-sig AS (SELECT doc_id, j, min({_D_H64.format("concat(j, ':', s)")}) AS mh
+sig AS (SELECT doc_id, j,
+        min(((2 * j + 1) * ({_D_H64.format('s')} % 2147483647) + 7919 * j) % 2147483647) AS mh
         FROM expl CROSS JOIN generate_series(0, 15) t(j) GROUP BY doc_id, j),
 sigarr AS (SELECT doc_id, list(mh ORDER BY j) AS sl FROM sig GROUP BY doc_id),
 bands AS (SELECT doc_id, b AS band_idx,

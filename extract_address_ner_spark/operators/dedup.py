@@ -82,18 +82,30 @@ def _h64(expr: str) -> str:
     return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
 
 
-def minhash_sig_expr(text_col: str, n_hashes: int = N_HASHES) -> str:
-    """array<bigint> of length n_hashes: sig[j] = min over shingles of
-    h64(j || ':' || shingle). Entirely narrow (array ops).
+# Universal-hash minhash parameters: base hash is md5-derived (cross-engine
+# reproducible) reduced mod the Mersenne prime M31; hash family j is
+# (a_j·h + b_j) mod M31 with a_j = 2j+1 (odd), b_j = 7919·j. Products stay
+# < 2^62 — exact in BIGINT on both engines (Spark 4 runs ANSI mode: overflow
+# would raise, so staying in range is load-bearing, not cosmetic).
+M31 = 2147483647
 
-    NB ``text_col`` is re-evaluated inside each of the n_hashes lambdas —
-    pass a COLUMN holding pre-computed shingles (see ``with_shingles``), not
-    the raw shingle expression, or the tokenize/shingle work runs n_hashes
-    times per row (measured 10×+ slowdown)."""
-    return f"""
-    transform(sequence(0, {n_hashes - 1}),
-      j -> array_min(transform({text_col}, s -> {_h64("concat(j, ':', s)")})))
-    """.strip()
+
+def minhash_sig_expr(hash_col: str, n_hashes: int = N_HASHES) -> str:
+    """array<bigint> of length n_hashes over a pre-computed base-hash array
+    column: sig[j] = min over shingle hashes h of (a_j·h + b_j) mod M31.
+
+    md5 runs ONCE per shingle (the per-j work is integer arithmetic), and the
+    whole expression is wrapped in a dummy second reference to ``hash_col``:
+    CollapseProject inlines single-referenced aliases into lambda bodies,
+    where they are re-evaluated PER SEQUENCE ELEMENT — without the guard the
+    shingle+md5 pipeline ran n_hashes× per row (measured 38.9s → 3.9s on 6.7k
+    docs)."""
+    sig = (
+        f"transform(sequence(0, {n_hashes - 1}), "
+        f"j -> array_min(transform({hash_col}, "
+        f"h -> ((2 * j + 1) * h + 7919 * j) % {M31})))"
+    )
+    return f"CASE WHEN size({hash_col}) = -1 THEN NULL ELSE {sig} END"
 
 
 def with_shingles(
@@ -105,6 +117,17 @@ def with_shingles(
     return df.withColumn(out_col, F.expr(shingles_expr(text_col, k)))
 
 
+def with_shingle_hashes(
+    df: DataFrame, text_col: str = "text", out_col: str = "_hs",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Base 64-bit md5 hash per shingle, reduced mod M31 (one md5 per
+    shingle, shared by all hash families)."""
+    return with_shingles(df, text_col, "_shingles", k).withColumn(
+        out_col, F.expr(f"transform(_shingles, s -> {_h64('s')} % {M31})")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = N_HASHES,
@@ -114,9 +137,9 @@ def minhash_signatures(
     from ..session import ensure_optimizer_confs
 
     ensure_optimizer_confs(df.sparkSession)
-    sig = minhash_sig_expr("_shingles", n_hashes)
+    sig = minhash_sig_expr("_hs", n_hashes)
     return (
-        with_shingles(df, text_col)
+        with_shingle_hashes(df, text_col)
         .select(id_col, F.expr(sig).alias("_sig"))
         .select(id_col, F.posexplode("_sig").alias("h_idx", "minhash"))
     )
@@ -134,9 +157,9 @@ def lsh_candidate_pairs(
 
     ensure_optimizer_confs(df.sparkSession)
     n_bands = n_hashes // band_size
-    sig = minhash_sig_expr("_shingles", n_hashes)
+    sig = minhash_sig_expr("_hs", n_hashes)
     bands = (
-        with_shingles(df, text_col)
+        with_shingle_hashes(df, text_col)
         .select(id_col, F.expr(sig).alias("_sig"))
         .select(
             id_col,
@@ -240,13 +263,17 @@ def simhash_signatures(
         )
         .select(
             id_col,
+            # the double reference to _hashes (size guard) stops
+            # CollapseProject from inlining the md5 pipeline into the per-bit
+            # lambda (same trap as minhash_sig_expr)
             F.expr(
                 f"""
+    CASE WHEN size(_hashes) = -1 THEN NULL ELSE
     aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT),
       (acc, b) -> acc + CASE WHEN
         aggregate(_hashes, 0, (c, h64) ->
           c + CASE WHEN shiftright(h64, b) % 2 = 1 THEN 1 ELSE -1 END) > 0
-        THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+        THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END) END
     """.strip()
             ).alias("simhash"),
         )
