@@ -254,6 +254,23 @@ def q_span_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_prf(pred, gold)
 
 
+@register("code_corpus_derivation", C.code_corpus_sql(sha256_fn=DUCK_SHA))
+def q_code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-code-shaped corpus: addresses planted inside a line comment and
+    a string literal per file."""
+    return C.code_corpus_from_documents(spark, sf_dir)
+
+
+@register("extract_mentions_from_code", C.gold_code_mentions_sql(sha256_fn=DUCK_SHA))
+def q_code_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal/comment segment extraction (mapInPandas, per-lang regexes with
+    offsets) → HOF tagger over segments → mention offsets re-based to the
+    file (north_star: triples from string literals and comments)."""
+    from .operators.code_extract import extract_mentions_from_code
+
+    return extract_mentions_from_code(C.code_corpus_from_documents(spark, sf_dir))
+
+
 @register("repo_mention_counts", gold_repo_counts_sql())
 def q_repo_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase hot-key aggregation (mega-repo skew)."""

@@ -168,6 +168,109 @@ def gold_mentions_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Code-shaped corpus: addresses planted in string literals and comments
+# --------------------------------------------------------------------------
+
+# comment marker per corpus lang (trailing space included)
+CODE_COMMENT_PREFIX = {
+    "python": "# ", "javascript": "// ", "java": "// ", "go": "// ",
+    "markdown": "> ",
+}
+
+
+def _cp_case(lang_col: str) -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN '{cp}'"
+        for lang, cp in list(CODE_COMMENT_PREFIX.items())[:-1]
+    )
+    return f"CASE {lang_col} {whens} ELSE '> ' END"
+
+
+def _addr2_case() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{a}'" for i, a in enumerate(PLANTED_ADDRESSES[:-1])
+    )
+    return (
+        f"CASE CAST((doc_id + 1) % 5 AS INT) {whens} "
+        f"ELSE '{PLANTED_ADDRESSES[-1]}' END"
+    )
+
+
+def code_corpus_sql(sha256_fn: str = "sha2({}, 256)", documents: str = "documents") -> str:
+    """Source-code-shaped corpus (shared Spark/DuckDB SQL):
+
+        <cp><addr1> \\n        ← addr1 in a line comment (trailing space keeps
+        x = "<addr2>"\\n          tokens newline-free)
+        <cp><doc text>         ← filler comment, no Korean
+
+    Exact offsets by construction: addr1 at [len(cp), +L1); addr2 at
+    [len(cp)+L1+7, +L2) (2 chars ' \\n' + 5 chars 'x = "'). markdown has no
+    string/comment syntax → whole file is one 'text' segment and only addr1
+    is discoverable (the quote glues to addr2's first token)."""
+    return f"""
+WITH _p AS (
+  SELECT doc_id, text, lang AS src_lang,
+         {inner_addr_case()} AS addr1, {_addr2_case()} AS addr2
+  FROM {documents}
+),
+_c AS (
+  SELECT doc_id, text, addr1, addr2,
+    {_lang_case('src_lang')} AS lang,
+    {_cp_case(_lang_case('src_lang'))} AS cp,
+    CASE WHEN doc_id % 10 < 3 THEN 'repo_mega'
+         ELSE 'repo_' || CAST(doc_id % 7 AS INT) END AS repo,
+    'src/c' || doc_id || {_ext_case('src_lang')} AS path,
+    substr(md5('cc' || doc_id), 1, 12) AS commit
+  FROM _p
+),
+_code AS (
+  SELECT repo, path, commit, lang, doc_id, cp, addr1, addr2,
+    cp || addr1 || ' ' || chr(10) || 'x = "' || addr2 || '"' || chr(10) || cp || text AS content
+  FROM _c
+)
+SELECT repo, path, commit, lang, content,
+       {sha256_fn.format('content')} AS content_sha256, doc_id
+FROM _code
+""".strip()
+
+
+def gold_code_mentions_sql(sha256_fn: str = "sha2({}, 256)", documents: str = "documents") -> str:
+    """Expected mentions from the code corpus: addr1 from the comment (or the
+    whole-file 'text' segment for markdown), addr2 from the string literal
+    (non-markdown only)."""
+    prefix = code_corpus_sql(sha256_fn, documents).rsplit("SELECT repo,", 1)[0]
+    return (
+        prefix
+        + f""", _k AS (
+  SELECT repo, path, commit, lang, doc_id, cp, addr1, addr2,
+         {sha256_fn.format('content')} AS content_sha256
+  FROM _code
+)
+SELECT repo, path, commit, content_sha256, doc_id,
+       CASE WHEN lang = 'markdown' THEN 'text' ELSE 'comment' END AS seg_type,
+       addr1 AS mention_text,
+       CAST(length(cp) AS INT) AS m_start,
+       CAST(length(cp) + length(addr1) AS INT) AS m_end,
+       CAST(0.85 AS DOUBLE) AS confidence
+FROM _k
+UNION ALL
+SELECT repo, path, commit, content_sha256, doc_id,
+       'string' AS seg_type,
+       addr2 AS mention_text,
+       CAST(length(cp) + length(addr1) + 7 AS INT) AS m_start,
+       CAST(length(cp) + length(addr1) + 7 + length(addr2) AS INT) AS m_end,
+       CAST(0.85 AS DOUBLE) AS confidence
+FROM _k WHERE lang <> 'markdown'
+""".strip()
+    )
+
+
+def code_corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_documents(spark, sf_dir)
+    return spark.sql(code_corpus_sql())
+
+
+# --------------------------------------------------------------------------
 # Large-scale pure-Spark synthesizer (bench / skew)
 # --------------------------------------------------------------------------
 
