@@ -254,6 +254,99 @@ def q_span_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_prf(pred, gold)
 
 
+def gold_split_sql() -> str:
+    from .operators.split import split_hash_expr
+
+    h = split_hash_expr("doc_id", seed=42).replace(
+        "CAST(conv(substr(md5(", "CAST(concat('0x', substr(md5("
+    ).replace("), 1, 15), 16, 10) AS BIGINT)", "), 1, 15)) AS BIGINT)")
+    return (
+        C.with_shape("documents")
+        + f""",
+_lab AS (
+  SELECT doc_id,
+    CASE WHEN m_start >= 0 THEN 1 ELSE 0 END AS is_address,
+    CASE WHEN {h} < 20 THEN 'test' ELSE 'train' END AS split
+  FROM _shaped)
+SELECT split, is_address, CAST(count(*) AS BIGINT) AS n
+FROM _lab GROUP BY 1, 2"""
+    )
+
+
+@register("train_test_split", gold_split_sql())
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratifiable 80/20 split (reference R1,
+    preprocess.py:225-279) — split distribution report."""
+    from .operators.split import split_report
+
+    corpus = C.corpus_from_documents(spark, sf_dir)
+    labeled = corpus.withColumn(
+        "is_address", F.expr("CASE WHEN doc_id % 3 < 2 THEN 1 ELSE 0 END")
+    )
+    return split_report(labeled, "is_address")
+
+
+def gold_fuzzy_sql() -> str:
+    """Char-2-gram Jaccard best-match of planted mention variants (incl.
+    space-squashed forms) against the canonical dictionary, in DuckDB."""
+    dict_rows = " UNION ALL ".join(
+        f"SELECT 'kaddr:{a.replace(' ', '/')}' AS canonical_id, '{a}' AS canonical_addr"
+        for a in C.PLANTED_ADDRESSES
+    )
+    ng = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(len(replace({0}, ' ', '')) - 1, 1)), "
+        "i -> substr(replace({0}, ' ', ''), i, 2)))"
+    )
+    return (
+        C.with_shape("documents")
+        + f""",
+_cands AS (
+  SELECT DISTINCT addr AS mention_text FROM _shaped WHERE m_start >= 0
+  UNION SELECT DISTINCT replace(addr, ' ', '') FROM _shaped WHERE m_start >= 0
+),
+_dict AS ({dict_rows}),
+_scored AS (
+  SELECT c.mention_text, d.canonical_id, d.canonical_addr,
+    CAST(round(
+      len(list_intersect({ng.format('c.mention_text')}, {ng.format('d.canonical_addr')}))
+      / (len({ng.format('c.mention_text')}) + len({ng.format('d.canonical_addr')})
+         - len(list_intersect({ng.format('c.mention_text')}, {ng.format('d.canonical_addr')}))),
+      4) AS DOUBLE) AS jaccard
+  FROM _cands c CROSS JOIN _dict d
+),
+_best AS (
+  SELECT *, row_number() OVER (PARTITION BY mention_text
+            ORDER BY jaccard DESC, canonical_id) AS rk
+  FROM _scored WHERE jaccard >= 0.6
+)
+SELECT mention_text, canonical_id, canonical_addr, jaccard
+FROM _best WHERE rk = 1"""
+    )
+
+
+@register("fuzzy_variant_match", gold_fuzzy_sql())
+def q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-n-gram fuzzy matching of mention variants to the canonical
+    dictionary (broadcast inverted-index path; the banded-MinHash LSH path
+    is equivalence-tested in tests/test_fuzzy.py)."""
+    from .operators.fuzzy import fuzzy_match_broadcast
+
+    C.register_documents(spark, sf_dir)
+    cands = spark.sql(
+        C.with_shape("documents")
+        + """
+SELECT DISTINCT addr AS mention_text FROM _shaped WHERE m_start >= 0
+UNION SELECT DISTINCT replace(addr, ' ', '') AS mention_text
+FROM _shaped WHERE m_start >= 0"""
+    )
+    dictionary = spark.createDataFrame(
+        [("kaddr:" + a.replace(" ", "/"), a) for a in C.PLANTED_ADDRESSES],
+        "canonical_id string, canonical_addr string",
+    )
+    return fuzzy_match_broadcast(cands, dictionary)
+
+
 @register("code_corpus_derivation", C.code_corpus_sql(sha256_fn=DUCK_SHA))
 def q_code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-code-shaped corpus: addresses planted inside a line comment and
