@@ -153,22 +153,79 @@ def merge_spans_expr(labeled_expr: str) -> str:
     """.strip()
 
 
+def fused_spans_expr(text_col: str) -> str:
+    """ONE fold over split(text, ' ') that tokenizes, labels, and merges in a
+    single pass with a constant-size accumulator — the spans array is only
+    copied when a span flushes (rare), so per-token work allocates no
+    intermediate token/label arrays.
+
+    Motivation (measured): the 3-stage composition
+    (tokens→labels→merge, each an aggregate that appends to an array)
+    allocates O(tokens) intermediate arrays per row with O(n²) copy
+    behavior; at 300k docs the job became GC-bound and STOPPED SCALING with
+    cores (26s @32c vs 19s @8c). The fused fold restores linear per-row work.
+
+    Semantics identical to the composition for the lexicon tagger (the
+    bare-I decode quirk only matters for externally-supplied label
+    sequences — covered by the pandas and window paths); equality is
+    asserted against the oracle in tests."""
+    esc_cont = CONT_REGEX.replace("\\", "\\\\")
+    conf = f"CAST({CONF_ADDRESS} AS DOUBLE)"
+    flush = (
+        "CASE WHEN acc.n > 0 THEN concat(acc.spans, array(named_struct("
+        "'m_start', acc.cs, 'm_end', acc.ce, 'confidence', acc.sm / acc.n)))"
+        " ELSE acc.spans END"
+    )
+    return f"""
+    aggregate(
+      split({text_col}, ' '),
+      named_struct('pos', 0, 'open', false, 'cs', -1, 'ce', -1,
+                   'sm', CAST(0 AS DOUBLE), 'n', 0,
+                   'spans', CAST(array() AS {_SPAN_ARR_T})),
+      (acc, t) -> CASE
+        WHEN length(t) = 0 THEN named_struct(
+          'pos', acc.pos + 1, 'open', acc.open, 'cs', acc.cs, 'ce', acc.ce,
+          'sm', acc.sm, 'n', acc.n, 'spans', acc.spans)
+        WHEN array_contains({_start_set_expr()}, t) THEN named_struct(
+          'pos', acc.pos + length(t) + 1, 'open', true,
+          'cs', acc.pos, 'ce', acc.pos + length(t), 'sm', {conf}, 'n', 1,
+          'spans', {flush})
+        WHEN acc.open AND t RLIKE '{esc_cont}' THEN named_struct(
+          'pos', acc.pos + length(t) + 1, 'open', true,
+          'cs', acc.cs, 'ce', acc.pos + length(t),
+          'sm', acc.sm + {conf}, 'n', acc.n + 1, 'spans', acc.spans)
+        ELSE named_struct(
+          'pos', acc.pos + length(t) + 1, 'open', false,
+          'cs', -1, 'ce', -1, 'sm', CAST(0 AS DOUBLE), 'n', 0,
+          'spans', {flush})
+        END,
+      acc -> {flush})
+    """.strip()
+
+
 def extract_mentions(
     corpus: DataFrame,
     text_col: str = "content",
     key_cols: Sequence[str] = ("repo", "path", "commit", "content_sha256", "doc_id"),
+    fused: bool = True,
 ) -> DataFrame:
     """Flagship operator (the reference's POST /extract-address,
     app/main.py:92-118, as a distributed batch stage).
 
-    Narrow plan: filter blank (P4, app/main.py:97-98) → per-row array
-    pipeline → posexplode mentions. No shuffle; whole-stage codegen."""
+    Narrow plan: filter blank (P4, app/main.py:97-98) → per-row single-pass
+    fold → posexplode mentions. No shuffle; whole-stage codegen.
+    ``fused=False`` selects the 3-stage composition (tokens→labels→merge) —
+    same results, kept for didactic parity with the reference's staged
+    decode and covered by equivalence tests."""
     from ..session import ensure_optimizer_confs
 
     ensure_optimizer_confs(corpus.sparkSession)
-    spans = merge_spans_expr(
-        labeled_tokens_expr(tokens_with_offsets_expr(text_col))
-    )
+    if fused:
+        spans = fused_spans_expr(text_col)
+    else:
+        spans = merge_spans_expr(
+            labeled_tokens_expr(tokens_with_offsets_expr(text_col))
+        )
     keys = [c for c in key_cols if c in corpus.columns]
     exploded = (
         corpus

@@ -89,6 +89,15 @@ def test_sql_path_equals_oracle(spark):
     assert len(got) > 0
 
 
+def test_fused_equals_staged(spark):
+    """The single-pass fused fold == the 3-stage composition (both against
+    the same fixtures)."""
+    df = _mk_df(spark)
+    fused = spark_mentions(extract_mentions(df, fused=True).collect())
+    staged = spark_mentions(extract_mentions(df, fused=False).collect())
+    assert fused == staged == oracle_mentions(TEXTS)
+
+
 def test_pandas_path_equals_oracle(spark):
     got = spark_mentions(extract_mentions_pandas(_mk_df(spark)).collect())
     assert got == oracle_mentions(TEXTS)
