@@ -254,6 +254,43 @@ def q_span_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_prf(pred, gold)
 
 
+def gold_tag_distribution_sql() -> str:
+    """A1 (preprocess.py:149-151,218-221): global B/I/O counts. Derivable
+    from the planting rules: every planted address contributes 1 B and
+    (n_addr_tokens - 1) I; no filler token can extend a span (English words
+    fail the continuation regex), so everything else is O."""
+    n_toks = "len(list_filter(string_split({0}, ' '), t -> len(t) > 0))"
+    return (
+        C.with_shape("documents")
+        + f""",
+_t AS (
+  SELECT CASE WHEN m_start >= 0 THEN 1 ELSE 0 END AS planted,
+         CASE WHEN m_start >= 0 THEN {n_toks.format('addr')} ELSE 0 END AS addr_toks,
+         {n_toks.format('content')} AS total_toks
+  FROM _shaped)
+SELECT label, CAST(n AS BIGINT) AS n FROM (
+  SELECT 'B-ADDRESS' AS label, sum(planted) AS n FROM _t
+  UNION ALL
+  SELECT 'I-ADDRESS', sum(CASE WHEN planted = 1 THEN addr_toks - 1 ELSE 0 END) FROM _t
+  UNION ALL
+  SELECT 'O', sum(total_toks) - sum(planted * addr_toks) FROM _t
+)"""
+    )
+
+
+@register("tag_distribution", gold_tag_distribution_sql())
+def q_tag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 tag-distribution counts over the real labeling pipeline (long
+    format window path → explode-free groupBy)."""
+    from .operators.span_merge import label_tokens_window, tokenize_long
+
+    corpus = C.corpus_from_documents(spark, sf_dir)
+    labeled = label_tokens_window(tokenize_long(corpus))
+    return labeled.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 def gold_split_sql() -> str:
     from .operators.split import split_hash_expr
 

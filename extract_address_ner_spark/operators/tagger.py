@@ -168,7 +168,12 @@ def fused_spans_expr(text_col: str) -> str:
     Semantics identical to the composition for the lexicon tagger (the
     bare-I decode quirk only matters for externally-supplied label
     sequences — covered by the pandas and window paths); equality is
-    asserted against the oracle in tests."""
+    asserted against the oracle in tests.
+
+    The ``t >= '가'`` pre-check short-circuits the 30-way start-set scan for
+    non-Hangul tokens (every start name begins with a Hangul syllable ≥
+    U+AC00; ASCII/Latin tokens compare lower) — most corpus tokens take one
+    string compare instead of thirty."""
     esc_cont = CONT_REGEX.replace("\\", "\\\\")
     conf = f"CAST({CONF_ADDRESS} AS DOUBLE)"
     flush = (
@@ -186,7 +191,7 @@ def fused_spans_expr(text_col: str) -> str:
         WHEN length(t) = 0 THEN named_struct(
           'pos', acc.pos + 1, 'open', acc.open, 'cs', acc.cs, 'ce', acc.ce,
           'sm', acc.sm, 'n', acc.n, 'spans', acc.spans)
-        WHEN array_contains({_start_set_expr()}, t) THEN named_struct(
+        WHEN t >= '가' AND array_contains({_start_set_expr()}, t) THEN named_struct(
           'pos', acc.pos + length(t) + 1, 'open', true,
           'cs', acc.pos, 'ce', acc.pos + length(t), 'sm', {conf}, 'n', 1,
           'spans', {flush})

@@ -145,6 +145,22 @@ class StagedPipeline:
             os.path.join(self.warehouse, "lineage")
         )
 
+    def info(self) -> DataFrame:
+        """Pipeline/run summary from the lineage table — the analogue of the
+        reference's GET /model-info (app/main.py:182-189): per stage, latest
+        run id, rows, partitions, wall time."""
+        lin = self.lineage()
+        return (
+            lin.groupBy("stage")
+            .agg(
+                F.max("run_id").alias("run_id"),
+                F.sum("rows").alias("rows"),
+                F.count(F.lit(1)).cast("long").alias("partitions"),
+                F.max("wall_ms").alias("wall_ms"),
+            )
+            .orderBy("stage")
+        )
+
     # -- invariants --------------------------------------------------------
 
     def sha_invariant_ok(self) -> bool:

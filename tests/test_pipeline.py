@@ -66,6 +66,17 @@ def test_lineage_rows(spark, warehouse, sf_smoke):
     )
 
 
+def test_pipeline_info(spark, warehouse, sf_smoke):
+    p = StagedPipeline(spark, warehouse, run_id="r1")
+    p.run(lambda: C.corpus_from_documents(spark, sf_smoke))
+    info = {r["stage"]: r for r in p.info().collect()}
+    assert set(info) == set(StagedPipeline.STAGES)
+    for stage, r in info.items():
+        assert r["run_id"] == "r1"
+        assert r["rows"] == p.read_stage(stage).count()
+        assert r["partitions"] >= 1 and r["wall_ms"] >= 0
+
+
 def test_sha_row_level_invariant(spark, warehouse, sf_smoke):
     """Exact per-row sha equality corpus→mentions (stronger than the
     aggregate check)."""
