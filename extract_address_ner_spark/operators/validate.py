@@ -71,6 +71,24 @@ def road_address_gate(
     )
 
 
+def append_training_data(
+    df: DataFrame, table_dir: str, run_ts: str, addr_col: str = "mention_text"
+) -> None:
+    """Append validation verdicts to the ``training_data`` table
+    (reference DDL db_service.py:44-50; the write-on-read side effect of
+    POST /validate-address, app/main.py:133). ``run_ts`` is a caller-supplied
+    ISO timestamp — never wall-clock inside the job (FIXTURES.md).
+    Parquet-dir append ≙ one Iceberg snapshot commit per batch."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    (
+        feedback_sink(df, addr_col)
+        .withColumn("created_at", F.lit(run_ts).cast("timestamp"))
+        .write.mode("append")
+        .parquet(table_dir)
+    )
+
+
 def feedback_sink(df: DataFrame, addr_col: str = "mention_text") -> DataFrame:
     """The reference persists every validation request as training data with
     text = address (write-on-read side effect, app/main.py:133 →

@@ -56,7 +56,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: driver JVM hosts all executor threads — size the heap
+        # for the thread count (8g across 32 threads was GC-starved and
+        # produced INVERTED core scaling on allocation-heavy stages)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -41,6 +41,28 @@ def test_validate_matches_reference_oracle(spark):
         assert got[t] == (want_valid, want_conf), t
 
 
+def test_feedback_sink_append(spark, tmp_path):
+    """The validate stage's write-on-read side effect (app/main.py:133):
+    verdicts append to training_data with text == address; repeated batches
+    accumulate (S4/S5 semantics)."""
+    from extract_address_ner_spark.operators.validate import append_training_data
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"mention_text": ["서울시 강동구", "hello"]})
+    )
+    d = str(tmp_path / "training_data")
+    append_training_data(df, d, "2026-01-01T00:00:00")
+    append_training_data(df, d, "2026-01-02T00:00:00")
+    rows = spark.read.parquet(d).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["text"] == r["address"]
+        assert r["created_at"] is not None
+    verdicts = {(r["address"], r["is_valid"]) for r in rows}
+    assert ("서울시 강동구", True) in verdicts  # the reference regex quirk
+    assert ("hello", False) in verdicts
+
+
 def test_road_gate(spark):
     keep = C.PLANTED_ADDRESSES + [C.ALIAS_VARIANT]
     drop = ["경기도", "서울시 강동구", "서울특별시 강남구"]
