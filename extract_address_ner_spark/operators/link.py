@@ -86,16 +86,49 @@ def located_in_edges(canonical_mentions: DataFrame) -> DataFrame:
     return addr_region.unionByName(backbone)
 
 
-def build_edges(canonical_mentions: DataFrame, persist: bool = True) -> DataFrame:
-    """Union of both edge families. The input subplan feeds two branches —
-    persist it (MEMORY_AND_DISK, LRU-evictable) so the extraction DAG runs
-    once, not twice. StagedPipeline callers pass persist=False since their
-    input is already a materialized parquet stage."""
+def build_edges(canonical_mentions: DataFrame, persist: bool = False) -> DataFrame:
+    """Both edge families in ONE pass: each canonical mention emits its
+    mentions_address edge and its located_in edge (a 2-element inline
+    explode), then a single salted two-phase aggregate dedupes/maxes
+    confidence for both families at once. The upstream extraction DAG runs
+    exactly once with NO caching — at 3M rows the previous
+    persist-then-two-branches formulation spent more time writing cache
+    blocks under 32-thread MemoryStore contention than recomputing
+    (+70s @32c) and doubled the shuffles.
+
+    The static region hierarchy backbone is unioned afterwards (tiny)."""
     if persist:
         canonical_mentions = canonical_mentions.persist()
-    return mention_edges(canonical_mentions).unionByName(
-        located_in_edges(canonical_mentions)
+    m = canonical_mentions.filter(F.col("canonical_id").isNotNull())
+    both = m.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat_ws(":", "repo", "path").alias("subj"),
+                    F.lit("mentions_address").alias("pred"),
+                    F.col("canonical_id").alias("obj"),
+                    F.col("confidence").alias("confidence"),
+                ),
+                F.struct(
+                    F.col("canonical_id").alias("subj"),
+                    F.lit("located_in").alias("pred"),
+                    F.col("region_id").alias("obj"),
+                    F.lit(1.0).alias("confidence"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.subj", "_e.pred", "_e.obj", "_e.confidence")
+    deduped = salted_agg(
+        both,
+        keys=("subj", "pred", "obj"),
+        partial_aggs=[F.max("confidence").alias("_pc")],
+        final_aggs=[F.max("_pc").alias("confidence")],
     )
+    spark = canonical_mentions.sparkSession
+    backbone = spark.createDataFrame(
+        hierarchy_edges(), "subj string, pred string, obj string"
+    ).withColumn("confidence", F.lit(1.0))
+    return deduped.unionByName(backbone)
 
 
 def build_nodes(canonical_mentions: DataFrame) -> DataFrame:

@@ -213,15 +213,22 @@ def extract_mentions(
     text_col: str = "content",
     key_cols: Sequence[str] = ("repo", "path", "commit", "content_sha256", "doc_id"),
     fused: bool = True,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Flagship operator (the reference's POST /extract-address,
     app/main.py:92-118, as a distributed batch stage).
 
-    Narrow plan: filter blank (P4, app/main.py:97-98) → per-row single-pass
-    fold → posexplode mentions. No shuffle; whole-stage codegen.
-    ``fused=False`` selects the 3-stage composition (tokens→labels→merge) —
-    same results, kept for didactic parity with the reference's staged
-    decode and covered by equivalence tests."""
+    Narrow plan: filter blank (P4, app/main.py:97-98) → Hangul prefilter →
+    per-row single-pass fold → posexplode mentions. No shuffle; whole-stage
+    codegen. ``fused=False`` selects the 3-stage composition
+    (tokens→labels→merge) — same results, kept for didactic parity with the
+    reference's staged decode and covered by equivalence tests.
+
+    ``prefilter``: a document with no Hangul syllable cannot contain an
+    address span (every start-lexicon token is Hangul), so one vectorized
+    ``rlike '[가-힣]'`` scan skips the allocation-heavy tokenize/fold for
+    it entirely. At code-corpus scale the overwhelming majority of files
+    are Hangul-free, making extraction throughput ≈ regex-scan throughput."""
     from ..session import ensure_optimizer_confs
 
     ensure_optimizer_confs(corpus.sparkSession)
@@ -232,6 +239,8 @@ def extract_mentions(
             labeled_tokens_expr(tokens_with_offsets_expr(text_col))
         )
     keys = [c for c in key_cols if c in corpus.columns]
+    if prefilter:
+        corpus = corpus.filter(F.col(text_col).rlike("[가-힣]"))
     exploded = (
         corpus
         .filter(F.length(F.trim(F.col(text_col))) > 0)  # P4 blank guard
