@@ -1,0 +1,87 @@
+"""spark-submit entry point for the KG-construction pipeline.
+
+Cluster usage (north_rule deployment shape):
+
+    zip -r deps.zip extract_address_ner_spark
+    spark-submit --master <cluster> --py-files deps.zip \\
+        jobs/run_pipeline.py \\
+        --corpus /data/corpus_parquet --warehouse /data/kg_warehouse \\
+        --run-id 2026-08-16T00 [--resume]
+
+Sandbox usage (synthetic corpus):
+
+    python jobs/run_pipeline.py --synthesize 100000 \\
+        --warehouse /tmp/kg_warehouse --run-id r1
+
+The job is checkpoint-resumable: completed stages (durable ``_SUCCESS``
+markers) are skipped on re-run unless ``--force`` removes them first. The
+cron-retrain/scheduled-refresh pattern of the reference (BackgroundScheduler,
+app/main.py:47-52) maps to scheduling THIS submit from cron/Airflow — no
+in-process scheduler.
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from extract_address_ner_spark.plans.evaluate import span_prf  # noqa: E402
+from extract_address_ner_spark.plans.pipeline import StagedPipeline  # noqa: E402
+from extract_address_ner_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", help="parquet dir with corpus(repo, path, commit, lang, content)")
+    ap.add_argument("--synthesize", type=int, help="generate an N-row synthetic corpus instead")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--run-id", required=True, help="caller-supplied run id (never wall-clock inside the job)")
+    ap.add_argument("--force", action="store_true", help="clear the warehouse first (full recompute)")
+    ap.add_argument("--eval-gold", help="optional gold-mentions parquet for a span-P/R report")
+    args = ap.parse_args()
+    if not args.corpus and not args.synthesize:
+        ap.error("one of --corpus / --synthesize is required")
+
+    spark = get_spark(app_name=f"kg-construct-{args.run_id}")
+    if args.force:
+        shutil.rmtree(args.warehouse, ignore_errors=True)
+
+    def source():
+        if args.corpus:
+            df = spark.read.parquet(args.corpus)
+            if "content_sha256" not in df.columns:
+                df = df.selectExpr("*", "sha2(content, 256) AS content_sha256")
+            if "doc_id" not in df.columns:
+                df = df.selectExpr(
+                    "*",
+                    "CAST(conv(substr(md5(repo || ':' || path || ':' || commit), 1, 15), 16, 10) AS BIGINT) AS doc_id",
+                )
+            return df
+        from extract_address_ner_spark.sources.corpus import synthesize_corpus
+
+        return synthesize_corpus(spark, args.synthesize)
+
+    p = StagedPipeline(spark, args.warehouse, run_id=args.run_id)
+    out = p.run(source)
+    print(f"run_id={args.run_id} computed_stages={p.ran_stages}")
+    for stage in StagedPipeline.STAGES:
+        print(f"  {stage}: {out[stage].count()} rows")
+    ok = p.sha_invariant_ok()
+    print(f"sha256 invariant: {'OK' if ok else 'VIOLATED'}")
+    if args.eval_gold:
+        gold = spark.read.parquet(args.eval_gold)
+        row = span_prf(out["mentions"], gold).collect()[0]
+        print(
+            f"eval: precision={row['precision']:.4f} recall={row['recall']:.4f} "
+            f"f1={row['f1']:.4f} (n_pred={row['n_pred']}, n_gold={row['n_gold']})"
+        )
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
