@@ -254,6 +254,30 @@ def q_span_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_prf(pred, gold)
 
 
+@register(
+    "derive_span_by_locate",
+    C.with_shape("documents")
+    + """
+SELECT doc_id, content AS text, addr AS address,
+  CAST(strpos(content, addr) - 1 AS INT) AS span_start,
+  CAST(CASE WHEN strpos(content, addr) > 0
+       THEN strpos(content, addr) - 1 + length(addr) ELSE -1 END AS INT) AS span_end
+FROM _shaped""",
+)
+def q_locate_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (train_service.py:401-421): first-occurrence span via locate, with
+    the 1-based→0-based correction; planted rows resolve to the plant
+    offsets, negative rows to -1."""
+    from .operators.spans import derive_span_by_locate
+
+    C.register_documents(spark, sf_dir)
+    with_addr = spark.sql(
+        C.with_shape("documents")
+        + "\nSELECT doc_id, content AS text, addr AS address FROM _shaped"
+    )
+    return derive_span_by_locate(with_addr)
+
+
 def gold_tag_distribution_sql() -> str:
     """A1 (preprocess.py:149-151,218-221): global B/I/O counts. Derivable
     from the planting rules: every planted address contributes 1 B and
