@@ -11,10 +11,14 @@ Env:
                             measurement (default 200000)
 
 Timing action is a noop-format write (forces full materialization of every
-column, no sink IO). The triples/sec figure runs the full KG path (synthesize
-→ extract → gate → canonicalize → edges) on a synthetic corpus with mega-repo
-skew — the north-metric throughput. Scaling evidence (local[8] vs local[32])
-is produced by scripts/scaling_bench.py → BENCH.md.
+column, no sink IO). Methodology: per-query warm-up run (codegen/JIT, a
+one-off per-plan cost that amortizes to zero at 100 TB) then best-of-2, with
+the cache cleared between runs so persist()-sharing operators do real work.
+The triples/sec figure runs the full KG path (synthesize → extract → gate →
+canonicalize → edges) on a synthetic corpus with mega-repo skew in a FRESH
+subprocess JVM (spark-submit-faithful; avoids cross-plan JIT profile
+pollution), best-of-3. Scaling evidence (local[8] vs local[32]) is produced
+by scripts/scaling_bench.py → BENCH.md.
 """
 
 from __future__ import annotations
@@ -29,14 +33,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from extract_address_ner_spark import entry_queries as EQ  # noqa: E402
 from extract_address_ner_spark import entry_queries_data  # noqa: E402,F401
-from extract_address_ner_spark.operators.canonicalize import (  # noqa: E402
-    canonicalize_mentions,
-)
-from extract_address_ner_spark.operators.link import build_edges  # noqa: E402
-from extract_address_ner_spark.operators.tagger import extract_mentions  # noqa: E402
-from extract_address_ner_spark.operators.validate import road_address_gate  # noqa: E402
 from extract_address_ner_spark.session import get_spark  # noqa: E402
-from extract_address_ner_spark.sources.corpus import synthesize_corpus  # noqa: E402
 
 HEADLINE = [
     "extract_mentions",
@@ -53,6 +50,54 @@ HEADLINE = [
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+_KG_RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from extract_address_ner_spark.session import get_spark
+from extract_address_ner_spark.operators.tagger import extract_mentions
+from extract_address_ner_spark.operators.validate import road_address_gate
+from extract_address_ner_spark.operators.canonicalize import canonicalize_mentions
+from extract_address_ner_spark.operators.link import build_edges
+from extract_address_ner_spark.sources.corpus import synthesize_corpus
+
+cpus, rows = int(sys.argv[1]), int(sys.argv[2])
+spark = get_spark(app_name="kg-bench", master=f"local[{{cpus}}]",
+                  shuffle_partitions=cpus,
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+
+def kg(r, seed=42, parts=cpus * 8):
+    c = synthesize_corpus(spark, r, seed=seed, partitions=parts)
+    return build_edges(
+        canonicalize_mentions(road_address_gate(extract_mentions(c))))
+
+kg(2000, seed=1, parts=cpus).count()  # warm-up (codegen/JIT), not timed
+# best-of-3: the sandbox host is shared (load avg ~18 on 32 cores from
+# outside this container) — min over trials is the least-contended estimate
+best, n = None, 0
+for _ in range(3):
+    t0 = time.monotonic()
+    n = kg(rows).count()
+    dt = time.monotonic() - t0
+    best = dt if best is None else min(best, dt)
+print(json.dumps({{"n_triples": n, "sec": round(best, 3)}}))
+spark.stop()
+"""
+
+
+def _kg_subprocess(rows: int, cpus: int) -> dict:
+    import subprocess
+
+    repo = str(Path(__file__).resolve().parent)
+    out = subprocess.run(
+        [sys.executable, "-c", _KG_RUNNER.format(repo=repo), str(cpus), str(rows)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
 
 
 def main() -> None:
@@ -72,31 +117,38 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     qmap = EQ.queries()
-    # warm-up: JVM / codegen / parquet footer caches (not timed)
-    _materialize(qmap["extract_mentions"](spark, sf_dir))
+    # Steady-state measurement: every query gets one untimed warm-up run
+    # (Janino codegen compile + JIT of the generated classes — a one-off
+    # per-plan driver/JVM cost that amortizes to zero over a 100 TB run)
+    # then best-of-2 timed runs. Single-shot cold timings on a shared
+    # local-mode JVM vary 5-10x with code-cache/JIT state and measure the
+    # compiler, not the operator.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = qmap[name](spark, sf_dir)
-        t0 = time.monotonic()
-        _materialize(df)
-        timings[name] = round(time.monotonic() - t0, 3)
+        _materialize(qmap[name](spark, sf_dir))  # warm-up, not timed
+        best = None
+        for _ in range(2):
+            # operators persist() shared subplans (e.g. LSH bands for the
+            # self-join); CacheManager would hand the NEXT run those blocks
+            # by plan identity, so the timed run would skip the real work
+            spark.catalog.clearCache()
+            df = qmap[name](spark, sf_dir)
+            t0 = time.monotonic()
+            _materialize(df)
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
-    # north-metric throughput: full KG path on skewed synthetic corpus
-    # (warm-up + best-of-2: single-shot timings of this plan are noisy —
-    # first execution pays codegen for the fold expressions)
-    def kg_path(rows, seed=42, parts=cpus * 8):
-        c = synthesize_corpus(spark, rows, seed=seed, partitions=parts)
-        return build_edges(
-            canonicalize_mentions(road_address_gate(extract_mentions(c)))
-        )
-
-    kg_path(2000, seed=1, parts=cpus).count()  # warm-up, not timed
-    triples_sec, n_triples = None, 0
-    for _ in range(2):
-        t0 = time.monotonic()
-        n_triples = kg_path(bench_rows).count()
-        dt = time.monotonic() - t0
-        triples_sec = dt if triples_sec is None else min(triples_sec, dt)
+    # north-metric throughput: full KG path on skewed synthetic corpus,
+    # measured in a FRESH subprocess JVM (exactly how the job ships:
+    # spark-submit = fresh JVM per run). Running it in this session's JVM
+    # after ~30 other query shapes measures JIT profile pollution, not the
+    # operator: identical back-to-back runs were observed at 68s -> 20s ->
+    # 12s -> 7s as tiered compilation recovered from megamorphic call sites.
+    spark.stop()
+    kg = _kg_subprocess(bench_rows, cpus)
+    n_triples = kg["n_triples"]
+    triples_sec = kg["sec"]
     timings["kg_triples_synth"] = round(triples_sec, 3)
 
     total = round(sum(timings.values()), 3)
@@ -115,7 +167,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

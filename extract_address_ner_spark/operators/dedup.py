@@ -68,12 +68,21 @@ def dedup_exact(
 
 def shingles_expr(text_col: str, k: int = SHINGLE_K) -> str:
     """k-word shingles as an array<string>; docs shorter than k words yield a
-    single shingle of the whole text (so every doc has ≥1 shingle)."""
-    words = f"filter(split({text_col}, ' '), t -> length(t) > 0)"
+    single shingle of the whole text (so every doc has ≥1 shingle).
+
+    Implementation: ONE regex scan (zero-width lookbehind anchors each word
+    start, lookahead captures the k-word window) over space-normalized text —
+    equivalent to the textbook filter/split/slice/concat_ws HOF pipeline but
+    ~6x faster per row (the HOF form allocates a slice + concat per word
+    position in the interpreted-expression path; measured 2.27s -> 0.37s on
+    6.7k docs). Word = maximal run of non-space chars after collapsing runs
+    of ' ' (tabs/newlines stay inside tokens, matching split(text, ' ') with
+    empty segments dropped — the DuckDB oracle's formulation)."""
+    norm = f"trim(regexp_replace({text_col}, ' +', ' '))"
+    rx = r"'(?<=^| )(?=(([^ ]+ ){" + str(k - 1) + r"}[^ ]+))'"
     return f"""
-    CASE WHEN size({words}) < {k} THEN array(concat_ws(' ', {words}))
-    ELSE transform(sequence(1, size({words}) - {k - 1}),
-                   i -> concat_ws(' ', slice({words}, i, {k})))
+    CASE WHEN size(split({norm}, ' ')) < {k} THEN array({norm})
+    ELSE regexp_extract_all({norm}, {rx}, 1)
     END""".strip()
 
 
