@@ -310,6 +310,42 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_bucket_topk(emb, queries, k=10, dim=64)
 
 
+@register(
+    "ann_ivf_topk",
+    f"""
+WITH e AS (SELECT vec_id, {_D_EMB_D} AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+sc AS (SELECT e.vec_id, centroid_id,
+  CAST(round(list_cosine_similarity(cv, v), 4) AS DOUBLE) AS s
+  FROM e CROSS JOIN cents),
+assign AS (SELECT vec_id, centroid_id AS cluster_id FROM
+  (SELECT *, row_number() OVER
+     (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS r FROM sc)
+  WHERE r = 1),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+qs AS (SELECT q_id, qv, centroid_id AS cluster_id FROM
+  (SELECT q_id, qv, centroid_id, row_number() OVER (PARTITION BY q_id
+     ORDER BY CAST(round(list_cosine_similarity(cv, qv), 4) AS DOUBLE) DESC,
+              centroid_id) AS r
+   FROM q CROSS JOIN cents)
+  WHERE r <= 3),
+cand AS (SELECT q_id, qv, e.vec_id AS neighbor_id, e.v
+  FROM qs JOIN assign a ON qs.cluster_id = a.cluster_id
+  JOIN e ON e.vec_id = a.vec_id
+  WHERE e.vec_id != q_id),
+scored AS (SELECT q_id, neighbor_id,
+  CAST(round(list_cosine_similarity(qv, v), 4) AS DOUBLE) AS cosine FROM cand),
+ranked AS (SELECT *, row_number() OVER
+  (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= 10""",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    return ann.ivf_topk(emb, queries, k=10, stride=50, nprobe=3)
+
+
 # --------------------------------------------------------------------------
 # events: windowed aggregation + ordered retrieval (reference S6/R5)
 # --------------------------------------------------------------------------

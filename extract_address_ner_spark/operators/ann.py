@@ -11,6 +11,16 @@
   engine/cluster); vectors meet only within matching bucket signatures, so
   the candidate set is bucket-local. Recall vs brute force is measured in
   tests (and is a tunable of n_planes/n_tables, as in standard LSH practice).
+
+- ``ivf_assign`` / ``ivf_topk``: inverted-file (IVF) index — the other
+  standard ANN scale path. Deterministic seed centroids (every ``stride``-th
+  vector) are broadcast; each corpus vector is assigned to its nearest
+  centroid with a map-side-combinable max(struct) aggregation (NOT a
+  window sort — partial aggregation keeps the shuffle at one combined row
+  per (vec, cluster)); queries probe their ``nprobe`` nearest centroids and
+  exact-rerank only within those clusters. At 100 TB the assignment is
+  written once as a cluster-partitioned table and probes become partition-
+  pruned scans.
 """
 
 from __future__ import annotations
@@ -66,6 +76,100 @@ def hyperplanes_expr(dim: int, n_planes: int, seed: int = 42) -> str:
         f"transform(sequence(0, {n_planes - 1}), j -> "
         f"transform(sequence(0, {dim - 1}), i -> "
         f"(CAST(pmod({comp}, 1000) AS DOUBLE) / 1000.0) - 0.5))"
+    )
+
+
+def seed_centroids(
+    emb: DataFrame, stride: int = 50,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid set: every stride-th vector by id. (A k-means
+    refinement would iterate assign→mean; the seed pick keeps the index
+    deterministic and oracle-reproducible — the probe/rerank machinery is
+    identical either way.)"""
+    return emb.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_ctv")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster_id): nearest centroid per vector (cosine 4dp,
+    ties → lowest centroid_id). Centroids are broadcast so the corpus never
+    shuffles for scoring; the argmax is max(struct(sim, -centroid_id)) —
+    partially aggregable, unlike a row_number window."""
+    scored = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "_sim",
+            F.round(F.expr(cosine_sim_expr("_ctv", vec_col)), 4).cast("double"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("_sim").alias("s"),
+                (-F.col("centroid_id")).alias("nc"),
+            )
+        ).alias("_m")
+    )
+    return best.select(id_col, (-F.col("_m.nc")).alias("cluster_id"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    stride: int = 50,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF index: candidates are corpus vectors
+    whose cluster is among the query's ``nprobe`` nearest centroids; exact
+    cosine rerank within candidates. Output schema matches brute_force_topk
+    (q_id, neighbor_id, rank, cosine) so recall is a direct join."""
+    cents = seed_centroids(emb, stride, id_col, vec_col)
+    assign = ivf_assign(emb, cents, id_col, vec_col)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).join(
+        assign.select(F.col(id_col).alias("neighbor_id"), "cluster_id"),
+        "neighbor_id",
+    )
+    qs = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_sim",
+            F.round(F.expr(cosine_sim_expr("_ctv", "_qv")), 4).cast("double"),
+        )
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("_sim"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_pr") <= nprobe)
+        .select("q_id", "_qv", F.col("centroid_id").alias("cluster_id"))
+    )
+    cand = F.broadcast(qs).join(corpus, "cluster_id").filter(
+        F.col("q_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(F.expr(cosine_sim_expr("_qv", "_cv")), 4).cast("double"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine")
     )
 
 
