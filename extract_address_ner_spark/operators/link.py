@@ -25,6 +25,25 @@ from pyspark.sql import functions as F
 from ..sources.admin_regions import hierarchy_edges
 
 
+def salted_partials(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: Sequence[Column],
+    n_salts: int = 16,
+    salt_seed: int = 42,
+) -> DataFrame:
+    """Phase 1 of salted aggregation: aggregate within (keys, salt). Exposed
+    so tests can assert the skew bound directly — a hot key's rows land in
+    ~n_salts groups of ~|hot|/n_salts rows each, so no single reducer sees
+    the whole key. The salt is a deterministic hash of the full row, not
+    rand() — re-runs are identical (FIXTURES.md: no unseeded randomness)."""
+    salt = (
+        F.abs(F.hash(*[F.col(k) for k in df.columns]) + F.lit(salt_seed))
+        % n_salts
+    ).alias("_salt")
+    return df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_aggs)
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -36,15 +55,9 @@ def salted_agg(
     """Two-phase aggregation defeating hot-key skew.
 
     ``partial_aggs`` aggregate within (keys, salt); ``final_aggs`` combine the
-    partials per key (they see the partial columns by alias). The salt is a
-    deterministic hash of a row-unique expression, not rand() — re-runs are
-    identical (FIXTURES.md: no unseeded randomness).
+    partials per key (they see the partial columns by alias).
     """
-    salt = (
-        F.abs(F.hash(*[F.col(k) for k in df.columns]) + F.lit(salt_seed))
-        % n_salts
-    ).alias("_salt")
-    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_aggs)
+    partial = salted_partials(df, keys, partial_aggs, n_salts, salt_seed)
     return partial.groupBy(*keys).agg(*final_aggs)
 
 

@@ -105,6 +105,30 @@ def test_salted_agg_equals_plain(spark):
     assert salted == plain
 
 
+def test_salted_partials_bound_hot_key(spark):
+    """SURVEY §5.2.5: mega-repo skew — post-salting, no single group holds
+    the hot key; its rows spread over ~n_salts groups of bounded size."""
+    from extract_address_ner_spark.operators.link import salted_partials
+
+    df = C.synthesize_corpus(spark, 20000, seed=1).select("repo", "path")
+    hot_rows = df.filter(F.col("repo") == "repo_mega").count()
+    partials = salted_partials(
+        df, ("repo",), [F.count(F.lit(1)).alias("n")], n_salts=16
+    ).filter(F.col("repo") == "repo_mega").collect()
+    assert hot_rows == 10000  # mega repo holds half of all rows
+    assert len(partials) == 16  # hot key occupies every salt bucket
+    assert sum(r["n"] for r in partials) == hot_rows
+    # bounded: no bucket more than 2x the ideal share
+    assert max(r["n"] for r in partials) <= 2 * hot_rows / 16
+    # deterministic re-run
+    again = salted_partials(
+        df, ("repo",), [F.count(F.lit(1)).alias("n")], n_salts=16
+    ).filter(F.col("repo") == "repo_mega").collect()
+    assert {(r["_salt"], r["n"]) for r in again} == {
+        (r["_salt"], r["n"]) for r in partials
+    }
+
+
 def test_edges_and_nodes(spark, sf_smoke):
     m = extract_mentions(C.corpus_from_documents(spark, sf_smoke))
     cm = canonicalize_mentions(road_address_gate(m))
