@@ -95,5 +95,25 @@ def windowed_event_counts(
     )
 
 
+def stream_dedup_exact(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "content",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on arrival: content-sha256 keyed
+    ``dropDuplicatesWithinWatermark`` — the training-data-ingest analogue of
+    the batch ``dedup.dedup_exact``. State is bounded by the watermark
+    horizon (a plain dropDuplicates on an unbounded stream grows state
+    forever; within-watermark keeps one hash per duplicate window). Emits
+    the first-arriving row of each content group with its hash attached."""
+    return (
+        stream.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_sha256"])
+    )
+
+
 def events_schema(spark: SparkSession, sample_path: str) -> StructType:
     return spark.read.parquet(sample_path).schema

@@ -39,6 +39,41 @@ def test_stream_equals_batch(spark, tmp_path, sf_smoke):
     assert spark.read.parquet(out_dir).count() == len(want)
 
 
+def test_stream_dedup_exact(spark, tmp_path):
+    """Exact dedup on arrival: duplicates inside the watermark window are
+    dropped; one row per distinct content survives."""
+    in_dir = str(tmp_path / "dedup_in")
+    rows = [
+        ("r1", "a.py", "hello world", "2026-01-01 00:00:00"),
+        ("r1", "b.py", "hello world", "2026-01-01 00:01:00"),  # dup content
+        ("r2", "c.py", "unique text", "2026-01-01 00:02:00"),
+        ("r2", "d.py", "hello world", "2026-01-01 00:03:00"),  # dup content
+        ("r3", "e.py", "another doc", "2026-01-01 00:04:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, content string, ts string"
+    )
+    df.write.parquet(in_dir)
+    stream = spark.readStream.schema(
+        "repo string, path string, content string, ts string"
+    ).parquet(in_dir)
+    deduped = S.stream_dedup_exact(stream, ts_col="ts", text_col="content")
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from dedup_out").collect()
+    contents = sorted(r["content"] for r in got)
+    assert contents == ["another doc", "hello world", "unique text"]
+    assert all(len(r["content_sha256"]) == 64 for r in got)
+
+
 def test_streaming_windowed_counts(spark, tmp_path, sf_smoke):
     # file-source streaming requires a directory of files
     ev_dir = str(tmp_path / "events")
