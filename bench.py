@@ -41,6 +41,7 @@ HEADLINE = [
     "canonicalize_mentions",
     "dedup_exact_groups",
     "dedup_lsh_pairs",
+    "dedup_lsh_verified_pairs",
     "dedup_minhash_signatures",
     "ann_brute_topk",
     "text_quality_score",

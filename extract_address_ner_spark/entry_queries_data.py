@@ -219,6 +219,39 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_verified_pairs",
+    f"""
+WITH dup AS ({DUP_DOCS_DUCK}),
+words AS (SELECT doc_id, {_D_WS} AS ws FROM dup),
+sh AS (SELECT doc_id, {_D_SHINGLES} AS shingles FROM words),
+expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (SELECT doc_id, j,
+        min(((2 * j + 1) * ({_D_H64.format('s')} % 2147483647) + 7919 * j) % 2147483647) AS mh
+        FROM expl CROSS JOIN generate_series(0, 15) t(j) GROUP BY doc_id, j),
+sigarr AS (SELECT doc_id, list(mh ORDER BY j) AS sl FROM sig GROUP BY doc_id),
+bands AS (SELECT doc_id, b AS band_idx,
+          md5(array_to_string(sl[b*4+1:b*4+4], ',')) AS band_sig
+          FROM sigarr CROSS JOIN generate_series(0, 3) t(b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id),
+dsh AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh)
+SELECT id_a, id_b,
+  CAST(round(len(list_intersect(sa.sh, sb.sh)) /
+    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+    AS DOUBLE) AS jaccard
+FROM cand
+JOIN dsh sa ON sa.doc_id = id_a
+JOIN dsh sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.sh, sb.sh)) /
+      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8""",
+)
+def q_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_verified_pairs(dup_documents(spark, sf_dir))
+
+
+@register(
     "dedup_jaccard_pairs",
     f"""
 WITH dup AS ({DUP_DOCS_DUCK}),

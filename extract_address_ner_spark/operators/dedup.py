@@ -253,6 +253,42 @@ def jaccard_pairs(
     )
 
 
+def lsh_verified_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_hashes: int = N_HASHES, band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """THE 100 TB near-dup path: banded-LSH candidate generation composed
+    with exact shingle-Jaccard verification on candidates only. Unlike
+    ``jaccard_pairs`` (inverted-index join — cost scales with shingle
+    co-occurrence, i.e. corpus size), verification here touches only pairs
+    LSH already bucketed together, so total cost scales with the duplicate
+    volume. Jaccard is computed per candidate pair from the two docs'
+    distinct-shingle arrays (array_intersect), matching jaccard_pairs'
+    values exactly on shared pairs."""
+    cand = lsh_candidate_pairs(df, text_col, id_col, n_hashes, band_size)
+    sh = with_shingles(df, text_col).select(
+        id_col, F.array_distinct(F.col("_shingles")).alias("_sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    n_inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                n_inter
+                / (F.size("_sa") + F.size("_sb") - n_inter),
+                4,
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -1,11 +1,26 @@
 """Scaling-efficiency evidence: the same KG-construction job at two
-parallelism levels (local[8] = N, local[32] = 4N — the sandbox proxy for an
-N- vs 4N-executor cluster, per the north rule), same input, fresh JVM each.
+parallelism levels (e.g. local[2] = N, local[8] = 4N — the sandbox proxy for
+an N- vs 4N-executor cluster, per the north rule), same input, fresh JVM
+each.
+
+Methodology (each choice is load-bearing):
+
+- The input corpus is MATERIALIZED to parquet once (untimed prep) and the
+  timed job READS it — the north rule's job runs over an Iceberg corpus
+  table, not an in-memory generator, and a compressed columnar scan is the
+  real 100 TB workload shape.
+- Partitioning is FIXED across levels (64 input + 64 shuffle partitions):
+  same job, same input, only parallelism varies.
+- 8M rows by default: long enough legs (~2 min at N=2) that per-stage
+  scheduling overhead and transient host noise amortize out.
+- Per-trial external-interference measurement from /proc/stat (host busy
+  cores minus our own worker-thread cap), quiet-window gating, and level
+  retry on contamination — this sandbox shares hardware.
 
 Writes/updates BENCH.md with throughput at both levels and
 efficiency = (throughput_4N / throughput_N) / 4 (target ≥ 0.8).
 
-Usage: python scripts/scaling_bench.py [rows]
+Usage: python scripts/scaling_bench.py [rows] [N N4]
 """
 
 from __future__ import annotations
@@ -17,59 +32,124 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+CORPUS_DIR = "/tmp/scaling_corpus_parquet"
+PARTS = 64
+
+PREP = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from extract_address_ner_spark.session import get_spark
+from extract_address_ner_spark.sources.corpus import synthesize_corpus
+rows = int(sys.argv[1])
+spark = get_spark(app_name="scaling-prep", master="local[32]",
+                  shuffle_partitions={parts},
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+synthesize_corpus(spark, rows, seed=42, partitions={parts}) \
+    .write.mode("overwrite").parquet({corpus!r})
+print("PREP_OK")
+spark.stop()
+"""
 
 RUNNER = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from extract_address_ner_spark.session import get_spark
 from extract_address_ner_spark.operators.tagger import extract_mentions
 from extract_address_ner_spark.operators.validate import road_address_gate
 from extract_address_ner_spark.operators.canonicalize import canonicalize_mentions
 from extract_address_ner_spark.operators.link import build_edges
-from extract_address_ner_spark.sources.corpus import synthesize_corpus
 
-cpus, rows = int(sys.argv[1]), int(sys.argv[2])
+cpus = int(sys.argv[1])
 spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=cpus,
+                  shuffle_partitions={parts},
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
-corpus = synthesize_corpus(spark, rows, seed=42, partitions=cpus * 8)
-# warm-up: JVM/codegen (small slice, not timed)
-build_edges(canonicalize_mentions(road_address_gate(
-    extract_mentions(synthesize_corpus(spark, 2000, seed=1))))).count()
-best = None
-for _ in range(3):  # best-of-3: single-shot local timings are noisy
+corpus = spark.read.parquet({corpus!r})
+
+def kg(c):
+    return build_edges(canonicalize_mentions(road_address_gate(
+        extract_mentions(c))))
+
+kg(corpus.limit(20000)).count()  # warm-up: JVM/codegen, not timed
+
+def cpu_ticks():
+    # (busy, total) jiffies across all cpus; busy excludes idle+iowait
+    v = list(map(int, open("/proc/stat").readline().split()[1:9]))
+    return sum(v) - v[3] - v[4], sum(v)
+
+NCPU = os.cpu_count()
+best, ext_at_best, n = None, None, 0
+for _ in range(2):  # best-of-2 (legs are long; min rejects contended runs)
+    b0, t0j = cpu_ticks()
     t0 = time.monotonic()
-    edges = build_edges(canonicalize_mentions(road_address_gate(
-        extract_mentions(corpus))))
-    n = edges.count()
+    n = kg(corpus).count()
     dt = time.monotonic() - t0
+    b1, t1j = cpu_ticks()
+    # host-wide busy cores during THIS trial; our own job can occupy at most
+    # `cpus` of them, so anything above that is external interference
+    busy_cores = NCPU * (b1 - b0) / max(1, t1j - t0j)
+    ext = max(0.0, busy_cores - cpus)
     if best is None or dt < best:
-        best = dt
-print(json.dumps({{"cpus": cpus, "rows": rows, "n_triples": n,
-                   "sec": round(best, 3),
+        best, ext_at_best = dt, ext
+print(json.dumps({{"cpus": cpus, "n_triples": n,
+                   "sec": round(best, 3), "ext_during": round(ext_at_best, 1),
                    "triples_per_sec": round(n / best, 1)}}))
 spark.stop()
 """
 
 
-def run(cpus: int, rows: int) -> dict:
+def _loadavg() -> float:
+    return float(Path("/proc/loadavg").read_text().split()[0])
+
+
+def prep(rows: int) -> None:
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER.format(repo=str(REPO)), str(cpus), str(rows)],
+        [sys.executable, "-c",
+         PREP.format(repo=str(REPO), parts=PARTS, corpus=CORPUS_DIR),
+         str(rows)],
         capture_output=True, text=True, check=True,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    assert "PREP_OK" in out.stdout
+
+
+def run(cpus: int) -> dict:
+    # The sandbox host is shared: external load inflates wall time unevenly
+    # across parallelism levels and corrupts the ratio. Gate each level on a
+    # quiet window (bounded wait), then RETRY the level if the best trial
+    # still ran under measurable external load.
+    cleanest = None
+    for attempt in range(3):
+        waited = 0
+        while _loadavg() > 2.0 and waited < 600:
+            time.sleep(30)
+            waited += 30
+        out = subprocess.run(
+            [sys.executable, "-c",
+             RUNNER.format(repo=str(REPO), parts=PARTS, corpus=CORPUS_DIR),
+             str(cpus)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        if cleanest is None or r["ext_during"] < cleanest["ext_during"]:
+            cleanest = r
+        if r["ext_during"] <= 2.0:
+            return r
+    return cleanest  # all attempts contaminated — ext_during records it
 
 
 def main() -> None:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     pairs = [(2, 8), (8, 32)]
     if len(sys.argv) > 3:
         pairs = [(int(sys.argv[2]), int(sys.argv[3]))]
+    prep(rows)
     results = {}
+    done: dict[int, dict] = {}
     for n, n4 in pairs:
-        rn = run(n, rows)
-        r4 = run(n4, rows)
+        rn = done.get(n) or run(n)
+        done[n] = rn
+        r4 = done.get(n4) or run(n4)
+        done[n4] = r4
         ratio = r4["triples_per_sec"] / rn["triples_per_sec"]
         results[(n, n4)] = (rn, r4, ratio, ratio / 4)
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
@@ -78,35 +158,70 @@ def main() -> None:
         rows_md.append(
             f"| local[{n}] (N) | {rn['sec']} | {rn['triples_per_sec']:,} "
             f"| local[{n4}] (4N) | {r4['sec']} | {r4['triples_per_sec']:,} "
-            f"| {ratio:.2f}× | **{eff:.2f}** |"
+            f"| {ratio:.2f}× | **{eff:.2f}** "
+            f"| {rn['ext_during']:.1f}/{r4['ext_during']:.1f} |"
         )
     table = "\n".join(rows_md)
+    n_triples = list(results.values())[0][0]["n_triples"]
     md = f"""# BENCH — measured numbers (this repo)
 
 ## Scaling evidence: N → 4N executors (sandbox proxy: local[N] → local[4N])
 
-Same job (synthesize {rows:,}-row skewed corpus → extract mentions → gate →
-canonicalize → build edges → count triples = {list(results.values())[0][0]['n_triples']:,}
-triples), same input, fresh JVM per run, warm-up pass excluded. Generated by
+Same job (read a materialized {rows:,}-row skewed corpus from parquet →
+extract mentions → gate → canonicalize → build edges → count triples =
+{n_triples:,}), same input files, SAME fixed partitioning (64 input + 64
+shuffle partitions at every level — only the parallelism varies), fresh JVM
+per level, warm-up pass excluded, best-of-2 per level. The corpus is read
+from parquet (not regenerated) because the north-rule job consumes an
+Iceberg corpus TABLE — a compressed columnar scan is the true 100 TB
+workload shape. `ext load` is external busy-cores measured from /proc/stat
+DURING the best trial (host-wide busy cores minus our own worker-thread
+cap — this sandbox shares hardware; levels wait for a quiet window and
+retry if contaminated). Generated by
 `python scripts/scaling_bench.py {rows}` at {stamp}.
 
-| N | wall s | triples/s | 4N | wall s | triples/s | speed-up | efficiency |
-|---|---|---|---|---|---|---|---|
+| N | wall s | triples/s | 4N | wall s | triples/s | speed-up | efficiency | ext load N/4N |
+|---|---|---|---|---|---|---|---|---|
 {table}
 
 North-rule target: efficiency ≥ 0.8 between N and 4N executors.
 
 **Measurement caveat (single box):** all local[K] threads share ONE memory
-bus, LLC, and JVM heap. The extraction operator is string-scan/memory-
-bandwidth-bound and saturates this box's bandwidth at roughly 8-16 threads
-(CPU utilization stays ~K×100% while throughput flattens), so the 8→32
-pair understates what 4× the *executors* (4× memory buses on a real
-cluster) delivers; the 2→8 pair runs below the bandwidth ceiling and is the
-representative per-executor-scaling proxy. Both are reported.
+bus, LLC, JVM heap, and turbo-frequency budget. The extraction operator is
+string-scan-heavy and saturates this box's memory bandwidth at roughly
+8-16 threads (CPU utilization stays ~K×100% while throughput flattens), so
+the 8→32 pair understates what 4× the *executors* (4× memory buses on a
+real cluster) delivers; the 2→8 pair runs below the bandwidth ceiling and
+is the representative per-executor-scaling proxy. Both are reported.
 
 ## Per-query timings
 
-See BENCH_r*.json (driver-recorded, `python bench.py` at sf0.1).
+See BENCH_r*.json (driver-recorded, `python bench.py` at sf0.1). Local
+reference run, 2026-08-16 (steady-state methodology: per-query warm-up +
+best-of-2 with cache cleared between runs; KG path in a fresh subprocess
+JVM, best-of-3 — see PLANS.md "Measurement methodology"):
+
+| query | sec |
+|---|---|
+| extract_mentions | 0.481 |
+| graph_edges | 1.206 |
+| canonicalize_mentions | 0.688 |
+| dedup_exact_groups | 0.235 |
+| dedup_lsh_pairs | 2.169 |
+| dedup_minhash_signatures | 1.697 |
+| ann_brute_topk | 0.571 |
+| text_quality_score | 0.448 |
+| events_windowed_counts | 0.190 |
+| kg_triples_synth (200k rows → 133,347 triples) | 4.030 |
+| **suite total** | **11.7** |
+
+KG-path throughput at local[32]: **33,089 triples/s** (200k-row skewed
+corpus, fresh JVM; peak measured 148k triples/s at 2M rows).
+
+**Host-noise caveat:** this sandbox shares hardware; outside load swings
+between ~0 and ~18 runnable threads on 32 cores. Best-of-N is used
+everywhere to reject contended trials, and the scaling table's `ext load`
+column records measured interference.
 """
     (REPO / "BENCH.md").write_text(md)
     print(json.dumps({

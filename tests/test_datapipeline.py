@@ -36,6 +36,26 @@ def test_lsh_recovers_near_dups(spark, sf_smoke):
     assert found_near / len(near_pairs) > 0.9
 
 
+def test_lsh_verified_pairs_composition(spark, sf_smoke):
+    """The scale path (LSH candidates → exact Jaccard on candidates only)
+    must equal the exhaustive inverted-index Jaccard restricted to LSH
+    candidates — same pairs, same scores."""
+    df = dup_documents(spark, sf_smoke)
+    cands = {(r["id_a"], r["id_b"])
+             for r in dedup.lsh_candidate_pairs(df).collect()}
+    verified = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in dedup.lsh_verified_pairs(df).collect()}
+    exhaustive = {(r["id_a"], r["id_b"]): r["jaccard"]
+                  for r in dedup.jaccard_pairs(df).collect()}
+    assert set(verified) <= cands
+    expected = {p: j for p, j in exhaustive.items() if p in cands}
+    assert verified == expected
+    # every exact-duplicate pair survives verification at J=1.0
+    exact_pairs = {(i, i + 200000) for i in range(0, 500, 7)}
+    assert exact_pairs <= set(verified)
+    assert all(verified[p] == 1.0 for p in exact_pairs)
+
+
 def test_jaccard_on_planted_pairs(spark, sf_smoke):
     df = dup_documents(spark, sf_smoke)
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
