@@ -36,6 +36,38 @@ def test_lsh_recovers_near_dups(spark, sf_smoke):
     assert found_near / len(near_pairs) > 0.9
 
 
+def test_shingles_expr_matches_python_reference(spark):
+    """The one-regex-scan shingle implementation must equal the definition
+    (k-word windows over split-on-space words, empties dropped; short docs
+    yield the whole text) on adversarial whitespace/unicode inputs."""
+    import random
+
+    rng = random.Random(7)
+    pieces = ["a", "bb", "한국", "서울시", "x1", "--", "a\tb", "c\nd",
+              "é", "𝄞", ".", "word"]
+    texts = [""]
+    for _ in range(300):
+        n = rng.randint(0, 8)
+        sep = lambda: " " * rng.randint(1, 3)  # noqa: E731
+        t = sep().join(rng.choice(pieces) for _ in range(n))
+        if rng.random() < 0.3:
+            t = " " + t + "  "
+        texts.append(t)
+
+    def ref_shingles(text, k=3):
+        words = [w for w in text.split(" ") if w]
+        if len(words) < k:
+            return [" ".join(words)]
+        return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, text string")
+    got = {r["i"]: r["s"] for r in df.selectExpr(
+        "i", f"{dedup.shingles_expr('text')} AS s").collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref_shingles(t), repr(t)
+
+
 def test_lsh_verified_pairs_composition(spark, sf_smoke):
     """The scale path (LSH candidates → exact Jaccard on candidates only)
     must equal the exhaustive inverted-index Jaccard restricted to LSH
