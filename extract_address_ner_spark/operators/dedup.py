@@ -257,6 +257,7 @@ def lsh_verified_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     threshold: float = 0.8,
     n_hashes: int = N_HASHES, band_size: int = BAND_SIZE,
+    prefilter_candidates: bool = False,
 ) -> DataFrame:
     """THE 100 TB near-dup path: banded-LSH candidate generation composed
     with exact shingle-Jaccard verification on candidates only. Unlike
@@ -265,21 +266,29 @@ def lsh_verified_pairs(
     LSH already bucketed together, so total cost scales with the duplicate
     volume. Jaccard is computed per candidate pair from the two docs'
     distinct-shingle arrays (array_intersect), matching jaccard_pairs'
-    values exactly on shared pairs."""
+    values exactly on shared pairs.
+
+    ``prefilter_candidates``: semi-join the corpus to candidate-pair ids
+    before shingling the verification sides. Turn ON at cluster scale,
+    where candidates are a small fraction of the corpus (~1% near-dup rate
+    → ~100x less verification scan+shingle work). OFF by default because
+    at small/dup-dense scale (tests, sf0.1 bench: candidates cover most
+    docs) the extra distinct+semi-join exchanges cost more than the
+    shingling they avoid (measured 1.7s → 5.2s on 6.7k docs). Result is
+    identical either way (equality-tested)."""
     cand = lsh_candidate_pairs(df, text_col, id_col, n_hashes, band_size)
-    cand = cand.persist()  # consumed 3x: two id semi-joins + the pair join
-    # shingle ONLY the docs that appear in some candidate pair — at 100 TB
-    # with ~1% near-dup candidates this is a ~100x reduction in the
-    # verification stage's scan+shingle work (the full-corpus pass already
-    # happened once inside the LSH banding)
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    base = df
+    if prefilter_candidates:
+        cand = cand.persist()  # consumed 3x: two id projections + pair join
+        cand_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        base = df.join(cand_ids, id_col, "left_semi")
+    sh = with_shingles(base, text_col).select(
+        id_col, F.array_distinct(F.col("_shingles")).alias("_sh")
     )
-    sh = with_shingles(
-        df.join(cand_ids, id_col, "left_semi"), text_col
-    ).select(id_col, F.array_distinct(F.col("_shingles")).alias("_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
     n_inter = F.size(F.array_intersect("_sa", "_sb"))

@@ -86,6 +86,11 @@ def test_lsh_verified_pairs_composition(spark, sf_smoke):
     exact_pairs = {(i, i + 200000) for i in range(0, 500, 7)}
     assert exact_pairs <= set(verified)
     assert all(verified[p] == 1.0 for p in exact_pairs)
+    # the cluster-scale candidate prefilter changes the plan, not the result
+    prefiltered = {(r["id_a"], r["id_b"]): r["jaccard"]
+                   for r in dedup.lsh_verified_pairs(
+                       df, prefilter_candidates=True).collect()}
+    assert prefiltered == verified
 
 
 def test_jaccard_on_planted_pairs(spark, sf_smoke):
