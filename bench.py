@@ -53,7 +53,7 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _wait_quiet(threshold: float = 3.0, max_wait_s: int = 180) -> float:
+def _wait_quiet(threshold: float = 3.0, max_wait_s: int = 120) -> float:
     """Bounded wait for a quiet host window (shared sandbox hardware: outside
     load swings 0-18 runnable threads and inflates wall times up to 4x).
     Returns the 1-min loadavg when proceeding."""
