@@ -309,6 +309,31 @@ def q_emb_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs(dup_embeddings(spark, sf_dir))
 
 
+@register(
+    "dedup_embedding_pairs_ivf",
+    f"""
+WITH dup AS ({DUP_EMB_DUCK}),
+e AS (SELECT vec_id, embedding AS v FROM dup),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+sc AS (SELECT e.vec_id, centroid_id,
+  CAST(round(list_cosine_similarity(cv, v), 4) AS DOUBLE) AS s
+  FROM e CROSS JOIN cents),
+assign AS (SELECT vec_id, centroid_id AS cluster_id FROM
+  (SELECT *, row_number() OVER
+     (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS r FROM sc)
+  WHERE r = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  CAST(round({_D_COS}, 4) AS DOUBLE) AS cosine
+FROM dup a
+JOIN assign aa ON aa.vec_id = a.vec_id
+JOIN assign ab ON ab.cluster_id = aa.cluster_id
+JOIN dup b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id
+WHERE round({_D_COS}, 4) >= 0.95""",
+)
+def q_emb_dupes_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_dup_pairs_ivf(dup_embeddings(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # ANN similarity search
 # --------------------------------------------------------------------------

@@ -407,12 +407,47 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (id_a < id_b), score rounded to 4 dp.
-    Brute-force pair join — correct baseline; compose with the ANN module's
-    LSH buckets to scale (same expression, bucketed join)."""
+    Brute-force pair join — correct baseline; ``embedding_dup_pairs_ivf``
+    is the bucketed scale path."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(cosine_sim_expr("_va", "_vb")), 4).cast("double"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_dup_pairs_ivf(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, stride: int = 50,
+) -> DataFrame:
+    """Bucketed embedding near-dup — the 100 TB path: vectors are assigned
+    to IVF clusters (broadcast seed centroids, map-side-combinable argmax —
+    see operators/ann.py) and the pair join is keyed on cluster_id, so the
+    comparison count is sum over clusters of |c|² instead of n². Near-dups
+    at cosine ≥ 0.95 sit closer to each other than to distinct centroids,
+    so same-cluster recall is high (measured in tests against the brute
+    path). Same scoring expression and output schema as
+    ``embedding_dup_pairs``."""
+    from .ann import ivf_assign, seed_centroids
+
+    cents = seed_centroids(emb, stride, id_col, vec_col)
+    assign = ivf_assign(emb, cents, id_col, vec_col)
+    clustered = emb.select(id_col, vec_col).join(assign, id_col)
+    a = clustered.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cluster_id"
+    )
+    b = clustered.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cluster_id"
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
             F.round(F.expr(cosine_sim_expr("_va", "_vb")), 4).cast("double"),

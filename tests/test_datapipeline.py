@@ -129,6 +129,26 @@ def test_embedding_dupes(spark, sf_smoke):
     assert zeroed > 0.8 * 72
 
 
+def test_embedding_dedup_ivf_bucketed(spark, sf_smoke):
+    """The IVF-bucketed path must be a subset of brute force with identical
+    scores, and exact-copy pairs (identical vectors → same cluster by
+    construction) must all survive."""
+    from extract_address_ner_spark.entry_queries_data import dup_embeddings
+
+    emb = dup_embeddings(spark, sf_smoke)
+    brute = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in dedup.embedding_dup_pairs(emb).collect()}
+    ivf = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in dedup.embedding_dup_pairs_ivf(emb).collect()}
+    assert set(ivf) <= set(brute)
+    assert all(brute[p] == c for p, c in ivf.items())
+    exact_pairs = {(i, i + 100000) for i in range(0, 500, 5)}
+    found_exact = exact_pairs & set(brute)
+    assert found_exact <= set(ivf)  # identical vectors can't split clusters
+    recall = len(ivf) / len(brute)
+    assert recall > 0.6  # near-dups mostly co-cluster
+
+
 def test_ann_lsh_recall(spark, sf_smoke):
     emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
     queries = emb.filter("vec_id < 20")
