@@ -99,6 +99,9 @@ _D_WS = "list_filter(string_split(text, ' '), t -> len(t) > 0)"
 # text analysis
 # --------------------------------------------------------------------------
 
+# BPE_RE with the leading apostrophe doubled for a SQL string literal
+_D_BPE = r"'''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'"
+
 @register(
     "text_token_stats",
     f"""
@@ -106,13 +109,15 @@ SELECT doc_id,
   CAST(length(text) AS INT) AS n_chars_calc,
   CAST(len({_D_WS}) AS INT) AS n_tokens_ws,
   CAST(len({_D_WORDS}) AS INT) AS n_words,
+  CAST(len(regexp_extract_all(text, {_D_BPE})) AS INT) AS n_tokens_bpe,
   CAST(round(coalesce(list_sum(list_transform({_D_WORDS}, w -> len(w))), 0)
        / greatest(len({_D_WORDS}), 1), 4) AS DOUBLE) AS avg_word_len
 FROM documents""",
 )
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_token_stats(_docs(spark, sf_dir)).select(
-        "doc_id", "n_chars_calc", "n_tokens_ws", "n_words", "avg_word_len"
+        "doc_id", "n_chars_calc", "n_tokens_ws", "n_words", "n_tokens_bpe",
+        "avg_word_len"
     )
 
 

@@ -17,6 +17,11 @@ from pyspark.sql import functions as F
 
 WORD_RE = "[A-Za-z]+"
 PUNCT_RE = "[^A-Za-z0-9 ]"
+# GPT-2-style pre-tokenizer pattern ("BPE-ish"): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+# Pure RE2/Java-regex common subset (no lookahead) so Spark and DuckDB
+# tokenize identically — verified over Korean/contraction/whitespace cases.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 # tiny per-language function-word sets for the heuristic language ID
 STOPWORDS = {
@@ -48,6 +53,13 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.expr(f"size(filter(split({text_col}, ' '), t -> length(t) > 0))"),
         )
         .withColumn("n_words", F.expr(f"size({words})"))
+        .withColumn(
+            # BPE-ish token count (GPT-2 pre-tokenizer shape) — the
+            # training-data-pipeline token budget estimator; F.lit avoids
+            # SQL-literal escaping of the pattern's apostrophe
+            "n_tokens_bpe",
+            F.size(F.regexp_extract_all(text_col, F.lit(BPE_RE), F.lit(0))),
+        )
         .withColumn(
             "avg_word_len",
             F.round(
