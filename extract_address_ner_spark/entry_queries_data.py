@@ -314,12 +314,21 @@ def q_emb_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs(dup_embeddings(spark, sf_dir))
 
 
+# Fixed-k centroid selection (mirrors ann.seed_centroids: n_centroids
+# smallest md5-derived sampling hashes, ties by id — corpus-size-independent)
+_D_CENTS = """cents AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e
+  ORDER BY CAST(concat('0x', substr(md5('c:42:' || vec_id), 1, 15)) AS BIGINT),
+           vec_id
+  LIMIT 32)"""
+
+
 @register(
     "dedup_embedding_pairs_ivf",
     f"""
 WITH dup AS ({DUP_EMB_DUCK}),
 e AS (SELECT vec_id, embedding AS v FROM dup),
-cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+{_D_CENTS},
 sc AS (SELECT e.vec_id, centroid_id,
   CAST(round(list_cosine_similarity(cv, v), 4) AS DOUBLE) AS s
   FROM e CROSS JOIN cents),
@@ -377,7 +386,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     f"""
 WITH e AS (SELECT vec_id, {_D_EMB_D} AS v FROM embeddings),
-cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+{_D_CENTS},
 sc AS (SELECT e.vec_id, centroid_id,
   CAST(round(list_cosine_similarity(cv, v), 4) AS DOUBLE) AS s
   FROM e CROSS JOIN cents),
@@ -406,7 +415,7 @@ FROM ranked WHERE rank <= 10""",
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter("vec_id < 5")
-    return ann.ivf_topk(emb, queries, k=10, stride=50, nprobe=3)
+    return ann.ivf_topk(emb, queries, k=10, n_centroids=32, nprobe=3)
 
 
 # --------------------------------------------------------------------------

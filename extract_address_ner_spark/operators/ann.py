@@ -13,14 +13,18 @@
   tests (and is a tunable of n_planes/n_tables, as in standard LSH practice).
 
 - ``ivf_assign`` / ``ivf_topk``: inverted-file (IVF) index — the other
-  standard ANN scale path. Deterministic seed centroids (every ``stride``-th
-  vector) are broadcast; each corpus vector is assigned to its nearest
-  centroid with a map-side-combinable max(struct) aggregation (NOT a
-  window sort — partial aggregation keeps the shuffle at one combined row
-  per (vec, cluster)); queries probe their ``nprobe`` nearest centroids and
-  exact-rerank only within those clusters. At 100 TB the assignment is
-  written once as a cluster-partitioned table and probes become partition-
-  pruned scans.
+  standard ANN scale path. A FIXED number of deterministic hash-sampled seed
+  centroids (``n_centroids``, independent of corpus size — the round-1 scheme
+  keyed centroids off every stride-th id, which grew the broadcast and the
+  assignment cost linearly with n and would not survive 100 TB) are
+  broadcast; each corpus vector is assigned to its nearest centroid with a
+  map-side-combinable max(struct) aggregation (NOT a window sort — partial
+  aggregation keeps the shuffle at one combined row per (vec, cluster));
+  queries probe their ``nprobe`` nearest centroids and exact-rerank only
+  within those clusters. At 100 TB the assignment is written once as a
+  cluster-partitioned table and probes become partition-pruned scans; the
+  centroid broadcast is O(n_centroids · dim) — bounded by a parameter, not
+  the data.
 """
 
 from __future__ import annotations
@@ -79,16 +83,42 @@ def hyperplanes_expr(dim: int, n_planes: int, seed: int = 42) -> str:
     )
 
 
+def centroid_hash_expr(id_col: str, seed: int = 42) -> str:
+    """Deterministic md5-derived sampling key for centroid selection —
+    reproducible in any engine (same bridge as the minhash family)."""
+    return (
+        f"CAST(conv(substr(md5(concat('c:{seed}:', {id_col})), 1, 15), 16, 10)"
+        f" AS BIGINT)"
+    )
+
+
 def seed_centroids(
-    emb: DataFrame, stride: int = 50,
+    emb: DataFrame, n_centroids: int = 32, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic centroid set: every stride-th vector by id. (A k-means
-    refinement would iterate assign→mean; the seed pick keeps the index
-    deterministic and oracle-reproducible — the probe/rerank machinery is
-    identical either way.)"""
-    return emb.filter(F.col(id_col) % stride == 0).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_ctv")
+    """Deterministic FIXED-SIZE centroid set: the ``n_centroids`` vectors
+    with the smallest md5-derived sampling hash (ties → lowest id). This is
+    a uniform hash sample whose size is a parameter, NOT a function of
+    corpus size, so the centroid broadcast and the O(n · n_centroids)
+    assignment cost are bounded at any scale; Catalyst plans the selection
+    as TakeOrderedAndProject (per-partition partial top-k, no full sort).
+    A k-means refinement pass would iterate assign→mean on top of this seed
+    set; the hash-sampled pick keeps the index deterministic and
+    oracle-reproducible — the probe/rerank machinery is identical either
+    way. A non-empty corpus always yields min(n_centroids, n) ≥ 1 centroids
+    (the round-1 ``id % stride`` pick could silently come up empty on an
+    offset id space)."""
+    if n_centroids < 1:
+        raise ValueError(f"n_centroids must be >= 1, got {n_centroids}")
+    return (
+        emb.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("_ctv"),
+            F.expr(centroid_hash_expr(id_col, seed)).alias("_ch"),
+        )
+        .orderBy("_ch", "centroid_id")
+        .limit(n_centroids)
+        .drop("_ch")
     )
 
 
@@ -123,8 +153,9 @@ def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    stride: int = 50,
+    n_centroids: int = 32,
     nprobe: int = 3,
+    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -132,7 +163,7 @@ def ivf_topk(
     whose cluster is among the query's ``nprobe`` nearest centroids; exact
     cosine rerank within candidates. Output schema matches brute_force_topk
     (q_id, neighbor_id, rank, cosine) so recall is a direct join."""
-    cents = seed_centroids(emb, stride, id_col, vec_col)
+    cents = seed_centroids(emb, n_centroids, seed, id_col, vec_col)
     assign = ivf_assign(emb, cents, id_col, vec_col)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")

@@ -424,19 +424,20 @@ def embedding_dup_pairs(
 
 def embedding_dup_pairs_ivf(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95, stride: int = 50,
+    threshold: float = 0.95, n_centroids: int = 32, seed: int = 42,
 ) -> DataFrame:
     """Bucketed embedding near-dup — the 100 TB path: vectors are assigned
-    to IVF clusters (broadcast seed centroids, map-side-combinable argmax —
-    see operators/ann.py) and the pair join is keyed on cluster_id, so the
-    comparison count is sum over clusters of |c|² instead of n². Near-dups
-    at cosine ≥ 0.95 sit closer to each other than to distinct centroids,
-    so same-cluster recall is high (measured in tests against the brute
-    path). Same scoring expression and output schema as
+    to IVF clusters (a FIXED count of broadcast hash-sampled seed centroids
+    — bounded broadcast, O(n · n_centroids) assignment — and a map-side-
+    combinable argmax; see operators/ann.py) and the pair join is keyed on
+    cluster_id, so the comparison count is sum over clusters of |c|² instead
+    of n². Near-dups at cosine ≥ 0.95 sit closer to each other than to
+    distinct centroids, so same-cluster recall is high (measured in tests
+    against the brute path). Same scoring expression and output schema as
     ``embedding_dup_pairs``."""
     from .ann import ivf_assign, seed_centroids
 
-    cents = seed_centroids(emb, stride, id_col, vec_col)
+    cents = seed_centroids(emb, n_centroids, seed, id_col, vec_col)
     assign = ivf_assign(emb, cents, id_col, vec_col)
     clustered = emb.select(id_col, vec_col).join(assign, id_col)
     a = clustered.select(
