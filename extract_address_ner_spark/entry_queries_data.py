@@ -249,8 +249,8 @@ SELECT id_a, id_b,
 FROM cand
 JOIN dsh sa ON sa.doc_id = id_a
 JOIN dsh sb ON sb.doc_id = id_b
-WHERE len(list_intersect(sa.sh, sb.sh)) /
-      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8""",
+WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= 0.8""",
 )
 def q_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_verified_pairs(dup_documents(spark, sf_dir))
@@ -272,7 +272,7 @@ SELECT id_a, id_b,
 FROM inter
 JOIN counts ca ON ca.doc_id = id_a
 JOIN counts cb ON cb.doc_id = id_b
-WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.8""",
+WHERE round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.8""",
 )
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(dup_documents(spark, sf_dir))
@@ -375,8 +375,40 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.brute_force_topk(emb, queries, k=10)
 
 
-@register("ann_lsh_topk", None)  # rows-only: bucketing is Spark-side only
+@register(
+    "ann_lsh_topk",
+    f"""
+WITH e AS (SELECT vec_id, {_D_EMB_D} AS v FROM embeddings),
+planes AS (
+  SELECT j, list(
+    (CAST(concat('0x', substr(md5('p:42:' || j || ':' || i), 1, 15)) AS BIGINT)
+     % 1000) / 1000.0 - 0.5 ORDER BY i) AS p
+  FROM generate_series(0, 47) t(j) CROSS JOIN generate_series(0, 63) s(i)
+  GROUP BY j),
+sigs AS (
+  SELECT vec_id, CAST(j // 4 AS INT) AS tbl,
+    string_agg(CASE WHEN list_dot_product(p, v) >= 0 THEN '1' ELSE '0' END,
+               '' ORDER BY j) AS bucket
+  FROM e CROSS JOIN planes GROUP BY vec_id, j // 4),
+qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+qsig AS (SELECT vec_id AS q_id, tbl, bucket FROM sigs WHERE vec_id < 5),
+cand AS (SELECT DISTINCT q.q_id, c.vec_id AS neighbor_id
+         FROM sigs c JOIN qsig q ON c.tbl = q.tbl AND c.bucket = q.bucket
+         WHERE c.vec_id != q.q_id),
+scored AS (SELECT cand.q_id, neighbor_id,
+  CAST(round(list_cosine_similarity(qv, v), 4) AS DOUBLE) AS cosine
+  FROM cand JOIN qs ON qs.q_id = cand.q_id
+  JOIN e ON e.vec_id = cand.neighbor_id),
+ranked AS (SELECT *, row_number() OVER
+  (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= 10""",
+)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The md5-derived hyperplanes (ann.hyperplanes_expr) exist precisely so
+    any engine reproduces the buckets: the oracle re-derives plane components,
+    sign-pattern buckets per table, the (table, bucket) candidate join, and
+    the cosine rerank entirely in DuckDB SQL."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter("vec_id < 5")
     return ann.lsh_bucket_topk(emb, queries, k=10, dim=64)
@@ -540,15 +572,47 @@ def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_features", None)  # rows-only: binary → Arrow → histogram UDF
+@register(
+    "media_features",
+    """
+WITH chars AS (
+  SELECT doc_id, unicode(c) AS cp
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)),
+bts AS (
+  SELECT doc_id, unnest(
+    CASE WHEN cp < 128 THEN [cp]
+         WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+         WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64,
+                               128 + cp % 64]
+         ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+               128 + (cp // 64) % 64, 128 + cp % 64]
+    END) AS b
+  FROM chars),
+counts AS (SELECT doc_id, b // 16 AS bin_idx, count(*) AS c FROM bts
+           GROUP BY 1, 2),
+totals AS (SELECT doc_id, count(*) AS n FROM bts GROUP BY 1)
+SELECT t.doc_id AS doc_id,
+  CASE CAST(t.doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS media_type,
+  CAST(g.bin_idx AS INT) AS bin_idx,
+  CAST(round(coalesce(c, 0) / n, 6) AS DOUBLE) AS bin_value
+FROM totals t CROSS JOIN generate_series(0, 15) g(bin_idx)
+LEFT JOIN counts ON counts.doc_id = t.doc_id AND counts.bin_idx = g.bin_idx""",
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ByteHistogramDecoder output IS driver-checkable: the payload is
+    the utf-8 text bytes, so the oracle re-derives the byte stream from code
+    points (utf-8 encoding is pure arithmetic), histograms the high nibble,
+    and normalizes — one row per (doc, bin), exercising the full
+    binary→Arrow→mapInPandas path against an exact cross-engine value."""
     from .operators.multimodal import extract_media_features, synth_media
 
     feats = extract_media_features(synth_media(_docs(spark, sf_dir)))
     return feats.select(
         "doc_id",
         "media_type",
-        F.round(F.expr("aggregate(feature, CAST(0 AS DOUBLE), (a, v) -> a + v)"), 6)
-        .alias("feature_sum"),
-        F.expr("size(feature)").alias("feature_dim"),
+        F.posexplode("feature").alias("bin_idx", "_v"),
+    ).select(
+        "doc_id", "media_type", "bin_idx",
+        F.round(F.col("_v"), 6).alias("bin_value"),
     )

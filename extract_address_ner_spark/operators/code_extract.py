@@ -2,12 +2,27 @@
 "…emitting triples from string literals and comments in source files").
 
 ``extract_code_segments`` is an Arrow-batched mapInPandas operator: per-lang
-regexes with match offsets (Python ``finditer`` — Spark SQL regex builtins
-return no positions) produce one row per segment with GLOBAL char offsets
-into ``content``:
+LEXER regexes with match offsets (Python ``finditer`` — Spark SQL regex
+builtins return no positions) produce one row per segment with GLOBAL char
+offsets into ``content``:
 
     (keys…, lang, seg_type ∈ {string, comment, text}, seg_start, seg_end,
      seg_text)
+
+Lexer semantics: each language compiles to ONE alternation regex scanned
+left-to-right by ``finditer`` — because ``finditer`` never yields overlapping
+matches, whichever token starts first consumes the other's marker, exactly
+like a real tokenizer:
+
+- a ``#`` or ``//`` inside a string literal does NOT open a comment;
+- a quote inside a comment does NOT open a string;
+- ``\\"`` / ``\\'`` escapes inside single-line string literals are consumed
+  (``"서울시 \\"강남구\\""`` is ONE string segment);
+- JS template literals / Go raw strings span newlines (Go raw strings take
+  no escapes, per the language).
+
+One ``finditer`` pass per row (the round-1 version ran 3-5 independent
+pattern scans per row AND could emit overlapping segments).
 
 ``extract_mentions_from_code`` then runs the standard HOF tagger over
 ``seg_text`` and re-bases mention offsets to the whole file
@@ -15,13 +30,13 @@ into ``content``:
 (reference invariant, ml_model.py:369).
 
 Scale notes: segment extraction is narrow (one Arrow batch in, one out, no
-shuffle); regexes are compiled once per task. Languages without comment or
-string syntax knowledge (markdown/unknown) degrade to one whole-file 'text'
-segment — never dropped silently.
+shuffle); regexes are compiled once per task; batch assembly is columnar
+(index-array take on the key columns — no per-row dict building, no
+``iterrows``).
 
-Known simplification: no handling of escaped quotes or comment markers inside
-string literals (segments may overlap in pathological sources); duplicate
-(start, end) segments are deduped.
+Known simplifications: Python triple-quoted strings lex as two empty strings
+around the body; unterminated literals are skipped (scan resumes after the
+opening quote) rather than recovered.
 """
 
 from __future__ import annotations
@@ -33,27 +48,36 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# (seg_type, compiled regex) — group 1 is the segment's inner content
-_STRING_DQ = (r'"([^"\n]*)"', "string")
-_STRING_SQ = (r"'([^'\n]*)'", "string")
-_STRING_BT = (r"`([^`\n]*)`", "string")
+# Token alternatives (pattern with exactly ONE capture group = the segment's
+# inner content, seg_type). Escapes: \X is consumed atomically inside
+# single-line strings ([^\n] keeps them line-bounded) and multi-line
+# template literals ([\s\S]).
+_STRING_DQ = (r'"((?:\\[^\n]|[^"\\\n])*)"', "string")
+_STRING_SQ = (r"'((?:\\[^\n]|[^'\\\n])*)'", "string")
+_STRING_BT_JS = (r"`((?:\\[\s\S]|[^`\\])*)`", "string")  # template literal
+_STRING_BT_GO = (r"`([^`]*)`", "string")  # raw string: no escapes
 _COMMENT_HASH = (r"#([^\n]*)", "comment")
 _COMMENT_SLASH = (r"//([^\n]*)", "comment")
 _COMMENT_BLOCK = (r"/\*((?:[^*]|\*(?!/))*)\*/", "comment")
 
 LANG_SYNTAX: dict[str, list[tuple[str, str]]] = {
     "python": [_STRING_DQ, _STRING_SQ, _COMMENT_HASH],
-    "javascript": [_STRING_DQ, _STRING_SQ, _STRING_BT, _COMMENT_SLASH, _COMMENT_BLOCK],
-    "java": [_STRING_DQ, _COMMENT_SLASH, _COMMENT_BLOCK],
-    "go": [_STRING_DQ, _STRING_BT, _COMMENT_SLASH, _COMMENT_BLOCK],
+    "javascript": [_STRING_DQ, _STRING_SQ, _STRING_BT_JS, _COMMENT_BLOCK,
+                   _COMMENT_SLASH],
+    "java": [_STRING_DQ, _COMMENT_BLOCK, _COMMENT_SLASH],
+    "go": [_STRING_DQ, _STRING_BT_GO, _COMMENT_BLOCK, _COMMENT_SLASH],
 }
 
 
-def _compiled() -> dict[str, list[tuple[re.Pattern, str]]]:
-    return {
-        lang: [(re.compile(p, re.DOTALL), t) for p, t in pats]
-        for lang, pats in LANG_SYNTAX.items()
-    }
+def _compiled() -> dict[str, tuple[re.Pattern, list[str]]]:
+    """lang → (combined alternation regex, seg_type per capture-group index).
+    Each alternative holds exactly one group, so ``m.lastindex`` identifies
+    which token matched."""
+    out = {}
+    for lang, pats in LANG_SYNTAX.items():
+        combined = "|".join(p for p, _t in pats)
+        out[lang] = (re.compile(combined), [t for _p, t in pats])
+    return out
 
 
 def extract_code_segments(
@@ -79,24 +103,37 @@ def extract_code_segments(
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pats = _compiled()  # compiled once per task
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                lang, text = row["_lang"], row["_text"]
-                base = {k: row[k] for k in keys}
-                base["lang"] = lang
-                segs: set[tuple[int, int, str]] = set()
-                for rx, seg_type in pats.get(lang, []):
-                    for m in rx.finditer(text):
-                        segs.add((m.start(1), m.end(1), seg_type))
-                if lang not in pats:
-                    segs.add((0, len(text), "text"))
-                for s, e, t in sorted(segs):
-                    rows.append(
-                        {**base, "seg_type": t, "seg_start": s, "seg_end": e,
-                         "seg_text": text[s:e]}
-                    )
-            cols = keys + ["lang", "seg_type", "seg_start", "seg_end", "seg_text"]
-            yield pd.DataFrame(rows, columns=cols)
+            langs = pdf["_lang"].tolist()
+            texts = pdf["_text"].tolist()
+            row_idx: list[int] = []
+            seg_type: list[str] = []
+            seg_start: list[int] = []
+            seg_end: list[int] = []
+            seg_text: list[str] = []
+            for i, (lang, text) in enumerate(zip(langs, texts)):
+                lx = pats.get(lang)
+                if lx is None:
+                    row_idx.append(i)
+                    seg_type.append("text")
+                    seg_start.append(0)
+                    seg_end.append(len(text))
+                    seg_text.append(text)
+                    continue
+                rx, types = lx
+                for m in rx.finditer(text):
+                    g = m.lastindex
+                    row_idx.append(i)
+                    seg_type.append(types[g - 1])
+                    seg_start.append(m.start(g))
+                    seg_end.append(m.end(g))
+                    seg_text.append(m.group(g))
+            out = pdf.iloc[row_idx][keys].reset_index(drop=True)
+            out["lang"] = [langs[i] for i in row_idx]
+            out["seg_type"] = seg_type
+            out["seg_start"] = pd.array(seg_start, dtype="int32")
+            out["seg_end"] = pd.array(seg_end, dtype="int32")
+            out["seg_text"] = seg_text
+            yield out
 
     return src.mapInPandas(process, schema=out_schema)
 

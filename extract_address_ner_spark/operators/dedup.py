@@ -21,6 +21,16 @@ entry_queries:
 
 All hash material derives from md5 hex prefixes so DuckDB oracles reproduce
 values exactly (cross-engine bridge: conv(substr(md5(x),1,15),16,10)).
+
+Caching contract: operators that feed one subplan into a self-join
+(``lsh_candidate_pairs``, ``jaccard_pairs``, ``simhash_near_pairs``, and
+``lsh_verified_pairs`` with prefilter) persist() that subplan so the
+shingle/sketch work runs once, and the blocks stay cached after the result
+is materialized (the laziness of the returned DataFrame means the operator
+itself cannot know when it is safe to unpersist). Storage is MEMORY_AND_DISK
+and LRU-evictable, so correctness is never at risk, but LONG-LIVED sessions
+issuing many dedup calls should ``spark.catalog.clearCache()`` between
+workloads (bench.py does; a one-shot spark-submit job doesn't need to).
 """
 
 from __future__ import annotations
