@@ -37,6 +37,7 @@ from extract_address_ner_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "extract_mentions",
+    "extract_mentions_from_code",
     "graph_edges",
     "canonicalize_mentions",
     "dedup_exact_groups",

@@ -432,3 +432,88 @@ def q_repo_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repo_mention_counts(m).withColumn(
         "n_mentions", F.col("n_mentions").cast("long")
     )
+
+
+# cross-engine edge checksum term: md5-bridge of 'subj|pred|obj', reduced
+# mod M31 so the sum over all edges stays in BIGINT range under ANSI mode
+_EDGE_CK_SPARK = (
+    "CAST(conv(substr(md5(subj || '|' || pred || '|' || obj), 1, 15), 16, 10)"
+    " AS BIGINT) % 2147483647"
+)
+_EDGE_CK_DUCK = (
+    "CAST(concat('0x', substr(md5(subj || '|' || pred || '|' || obj), 1, 15))"
+    " AS BIGINT) % 2147483647"
+)
+
+
+def gold_resume_sql() -> str:
+    """Oracle: the resumed run's edges must equal the clean gold edge set
+    (per-pred count + checksum), only the tail stages may have re-run, and
+    the sha256 / clean-vs-resumed invariants must hold."""
+    return f"""
+SELECT pred, CAST(count(*) AS BIGINT) AS n_edges,
+  CAST(sum({_EDGE_CK_DUCK}) AS BIGINT) AS edge_checksum,
+  'edges,nodes' AS resumed_stages,
+  TRUE AS resume_matches_clean, TRUE AS sha_invariant_ok
+FROM ({gold_edges_sql()}) _e
+GROUP BY pred"""
+
+
+@register("pipeline_resume_equivalence", gold_resume_sql())
+def q_pipeline_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume ≡ clean-run, driven through the driver harness: run
+    the staged pipeline clean, crash-simulate by deleting the edges/nodes
+    stage outputs, re-run (only the tail recomputes — earlier stages are
+    consumed from their durable parquet), and emit per-pred edge counts +
+    checksums plus the equivalence/lineage invariants. The oracle pins the
+    result to the by-construction gold edge set, 'edges,nodes' as the only
+    re-run stages, and TRUE for both invariants."""
+    import shutil
+    import tempfile
+
+    from .plans.pipeline import StagedPipeline
+
+    wh = tempfile.mkdtemp(prefix="staged_resume_wh_")
+    try:
+        clean = StagedPipeline(spark, wh, run_id="clean")
+        out1 = clean.run(lambda: C.corpus_from_documents(spark, sf_dir))
+
+        def edge_agg(edges: DataFrame) -> dict[str, tuple[int, int]]:
+            rows = (
+                edges.groupBy("pred")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_edges"),
+                    F.sum(F.expr(_EDGE_CK_SPARK)).cast("long").alias("ck"),
+                )
+                .collect()
+            )
+            return {r["pred"]: (r["n_edges"], r["ck"]) for r in rows}
+
+        clean_agg = edge_agg(out1["edges"])
+        # crash-simulate: the tail stages' outputs (and their _SUCCESS
+        # markers) vanish; corpus/mentions/canonical stay durable
+        shutil.rmtree(clean.stage_dir("edges"))
+        shutil.rmtree(clean.stage_dir("nodes"))
+
+        resumed = StagedPipeline(spark, wh, run_id="resume")
+        out2 = resumed.run(lambda: C.corpus_from_documents(spark, sf_dir))
+        resumed_agg = edge_agg(out2["edges"])
+        rows = [
+            (
+                pred,
+                n,
+                ck,
+                ",".join(resumed.ran_stages),
+                resumed_agg == clean_agg,
+                resumed.sha_invariant_ok(),
+            )
+            for pred, (n, ck) in sorted(resumed_agg.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "pred string, n_edges long, edge_checksum long, "
+            "resumed_stages string, resume_matches_clean boolean, "
+            "sha_invariant_ok boolean",
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

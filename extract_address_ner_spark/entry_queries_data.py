@@ -223,10 +223,10 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(dup_documents(spark, sf_dir))
 
 
-@register(
-    "dedup_lsh_verified_pairs",
-    f"""
-WITH dup AS ({DUP_DOCS_DUCK}),
+# Shared CTE chain: dup corpus → shingles → minhash sigs → bands → LSH
+# candidates → distinct-shingle arrays (used by the verified-pairs oracle and
+# the connected-components oracle).
+_D_LSH_CTES = f"""dup AS ({DUP_DOCS_DUCK}),
 words AS (SELECT doc_id, {_D_WS} AS ws FROM dup),
 sh AS (SELECT doc_id, {_D_SHINGLES} AS shingles FROM words),
 expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -241,7 +241,9 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b
            ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
               AND a.doc_id < b.doc_id),
-dsh AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh)
+dsh AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh)"""
+
+_D_LSH_VERIFIED_SELECT = """
 SELECT id_a, id_b,
   CAST(round(len(list_intersect(sa.sh, sb.sh)) /
     (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
@@ -250,10 +252,39 @@ FROM cand
 JOIN dsh sa ON sa.doc_id = id_a
 JOIN dsh sb ON sb.doc_id = id_b
 WHERE round(len(list_intersect(sa.sh, sb.sh)) /
-      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= 0.8""",
+      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= 0.8"""
+
+
+@register(
+    "dedup_lsh_verified_pairs",
+    f"WITH {_D_LSH_CTES}{_D_LSH_VERIFIED_SELECT}",
 )
 def q_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_verified_pairs(dup_documents(spark, sf_dir))
+
+
+@register(
+    "dedup_components",
+    f"""
+WITH RECURSIVE {_D_LSH_CTES},
+verified AS ({_D_LSH_VERIFIED_SELECT}),
+edges AS (SELECT id_a AS u, id_b AS v FROM verified
+          UNION ALL SELECT id_b AS u, id_a AS v FROM verified),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM dup
+  UNION
+  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON e.u = r.dst
+)
+SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src""",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster collapse: connected components over the LSH-verified
+    pair list (min-label propagation — the keeper-selection stage a 100 TB
+    dedup needs after pair generation); the oracle computes min-reachable-id
+    per doc with a recursive CTE."""
+    docs = dup_documents(spark, sf_dir)
+    pairs = dedup.lsh_verified_pairs(docs)
+    return dedup.connected_components(docs, pairs)
 
 
 @register(

@@ -1,7 +1,7 @@
 """Deduplication operators for training-data pipelines.
 
-Five families, each usable standalone and each with a driver-checked query in
-entry_queries:
+Seven families, each usable standalone and each with a driver-checked query
+in entry_queries:
 
 - exact:       sha256 content hash → groupBy (one shuffle on the hash; at
                100 TB this is the cheapest possible dedup — hash computed in
@@ -18,6 +18,9 @@ entry_queries:
                pairing for near-dup.
 - embedding:   cosine near-dup over an embedding column (brute pairs at test
                scale; the ANN module's LSH buckets are the 100 TB path).
+- components:  connected components over the near-dup pair list (min-label
+               propagation) — cluster collapse / keeper selection, the stage
+               after pair generation in a real dedup.
 
 All hash material derives from md5 hex prefixes so DuckDB oracles reproduce
 values exactly (cross-engine bridge: conv(substr(md5(x),1,15),16,10)).
@@ -167,11 +170,22 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = N_HASHES, band_size: int = BAND_SIZE,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b): docs agreeing on ALL hashes
     of any band meet in a bucket. One equi-join keyed on (band_idx,
     band_sig) — skew-safe via AQE; bucket sizes are bounded by duplicate
-    cluster sizes, not corpus size."""
+    cluster sizes, not corpus size.
+
+    ``max_bucket_size``: drop buckets holding more than this many docs
+    BEFORE the self-join. The realistic failure of banded LSH on code/web
+    corpora is a boilerplate bucket (shared license header, template page):
+    a bucket of m docs emits m²/2 candidate pairs in ONE join group, so a
+    single hot bucket holding 10% of a 100 TB corpus is quadratic output,
+    not a skew-rebalance problem — AQE can split the straggler task but
+    cannot shrink the pair count. Capping is the standard production fix
+    (pairs within a dropped bucket can still meet in their other n_bands-1
+    buckets). Default None = exact semantics (every bucket joined)."""
     from ..session import ensure_optimizer_confs
 
     ensure_optimizer_confs(df.sparkSession)
@@ -190,6 +204,18 @@ def lsh_candidate_pairs(
             ).alias("band_idx", "band_sig"),
         )
     )
+    if max_bucket_size is not None:
+        # one extra aggregation on the SAME key the join shuffles on (the
+        # exchange is reused), then filter — buckets above the cap never
+        # reach the pair join
+        sizes = bands.groupBy("band_idx", "band_sig").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        bands = (
+            bands.join(sizes, ["band_idx", "band_sig"])
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     # the self-join would recompute the signature DAG for each side —
     # persist (LRU-evictable) so shingle/minhash work runs once
     bands = bands.persist()
@@ -268,6 +294,7 @@ def lsh_verified_pairs(
     threshold: float = 0.8,
     n_hashes: int = N_HASHES, band_size: int = BAND_SIZE,
     prefilter_candidates: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """THE 100 TB near-dup path: banded-LSH candidate generation composed
     with exact shingle-Jaccard verification on candidates only. Unlike
@@ -285,8 +312,12 @@ def lsh_verified_pairs(
     at small/dup-dense scale (tests, sf0.1 bench: candidates cover most
     docs) the extra distinct+semi-join exchanges cost more than the
     shingling they avoid (measured 1.7s → 5.2s on 6.7k docs). Result is
-    identical either way (equality-tested)."""
-    cand = lsh_candidate_pairs(df, text_col, id_col, n_hashes, band_size)
+    identical either way (equality-tested).
+
+    ``max_bucket_size`` is forwarded to ``lsh_candidate_pairs`` (boilerplate-
+    bucket cap — see there)."""
+    cand = lsh_candidate_pairs(df, text_col, id_col, n_hashes, band_size,
+                               max_bucket_size)
     base = df
     if prefilter_candidates:
         cand = cand.persist()  # consumed 3x: two id projections + pair join
@@ -316,6 +347,58 @@ def lsh_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup connected components (cluster collapse / keeper selection)
+# --------------------------------------------------------------------------
+
+def connected_components(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, component_id): connected components over a near-dup pair
+    list, component_id = min doc id in the component (deterministic);
+    singletons label themselves. This is the stage a 100 TB dedup actually
+    needs after pair generation — pairs don't pick keepers, clusters do.
+
+    Algorithm: iterative min-label propagation (each round, every node takes
+    the min of its own label and its neighbors' labels) — converges in
+    O(component diameter) rounds; near-dup clusters are small and dense
+    (diameter 1-3), so a handful of bounded shuffles, each keyed on the node
+    id. Labels are persisted per round and the previous round is unpersisted
+    (bounded lineage + bounded cache); convergence is detected by an
+    aggregate checksum (sum of labels — strictly decreasing under min-
+    propagation until fixpoint), not a row-diff join. ``max_iter`` bounds
+    pathological chain-shaped graphs (at 100 TB you'd switch to the
+    large-star/small-star variant for those; near-dup graphs don't produce
+    them)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("_u"), F.col("id_b").alias("_v"))
+        .union(pairs.select(F.col("id_b").alias("_u"), F.col("id_a").alias("_v")))
+    ).persist()
+    labels = docs.select(
+        F.col(id_col).alias("_id"), F.col(id_col).alias("_lab")
+    ).persist()
+    prev_sum = labels.agg(F.sum("_lab")).collect()[0][0]
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels, edges["_u"] == labels["_id"]
+        ).select(F.col("_v").alias("_id"), "_lab")
+        new_labels = (
+            labels.union(msgs).groupBy("_id").agg(F.min("_lab").alias("_lab"))
+        ).persist()
+        new_sum = new_labels.agg(F.sum("_lab")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    out = labels.select(
+        F.col("_id").alias(id_col), F.col("_lab").alias("component_id")
+    )
+    return out
 
 
 # --------------------------------------------------------------------------

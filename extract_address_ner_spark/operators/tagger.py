@@ -331,17 +331,28 @@ def extract_mentions_pandas(
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tagger = tagger_factory()  # executor-local, once per task
         for pdf in batches:
-            rows = []
-            tagged = tagger.tag(pdf["_text"])
-            for (_, row), (toks, labels, confs) in zip(pdf.iterrows(), tagged):
-                for m in oracle.merge_spans(row["_text"], toks, labels, confs):
-                    out = {k: row[k] for k in keys}
-                    out.update(
-                        mention_text=m.text, m_start=m.start, m_end=m.end,
-                        confidence=m.confidence,
-                    )
-                    rows.append(out)
-            cols = keys + ["mention_text", "m_start", "m_end", "confidence"]
-            yield pd.DataFrame(rows, columns=cols)
+            texts = pdf["_text"].tolist()
+            # columnar assembly (index-array take on the key columns — no
+            # per-row dict building, no iterrows)
+            row_idx: list[int] = []
+            m_text: list[str] = []
+            m_start: list[int] = []
+            m_end: list[int] = []
+            m_conf: list[float] = []
+            for i, (text, (toks, labels, confs)) in enumerate(
+                zip(texts, tagger.tag(pdf["_text"]))
+            ):
+                for m in oracle.merge_spans(text, toks, labels, confs):
+                    row_idx.append(i)
+                    m_text.append(m.text)
+                    m_start.append(m.start)
+                    m_end.append(m.end)
+                    m_conf.append(m.confidence)
+            out = pdf.iloc[row_idx][keys].reset_index(drop=True)
+            out["mention_text"] = m_text
+            out["m_start"] = pd.array(m_start, dtype="int32")
+            out["m_end"] = pd.array(m_end, dtype="int32")
+            out["confidence"] = pd.array(m_conf, dtype="float64")
+            yield out
 
     return src.mapInPandas(process, schema=out_schema)

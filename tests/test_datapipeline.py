@@ -36,6 +36,49 @@ def test_lsh_recovers_near_dups(spark, sf_smoke):
     assert found_near / len(near_pairs) > 0.9
 
 
+def test_lsh_skewed_boilerplate_bucket_cap(spark):
+    """The realistic banded-LSH failure on code corpora: ONE bucket holding
+    10% of docs (shared license header / template boilerplate). A bucket of
+    m docs emits m(m-1)/2 pairs in one join group — quadratic OUTPUT, which
+    AQE skew-splitting cannot shrink. The max_bucket_size cap must drop the
+    hot bucket while keeping small-cluster near-dups intact."""
+    boiler = ("permission is hereby granted free of charge to any person "
+              "obtaining a copy of this software and associated files")
+    rows = [(i, boiler) for i in range(200)]  # 10% of 2000, one mega-bucket
+    # fully-disjoint unique docs (no shared shingles → no accidental buckets)
+    rows += [(1000 + i, " ".join(f"u{i}w{j}" for j in range(12)))
+             for i in range(1750)]
+    # 25 planted exact twins: clusters of size 2, far below any cap
+    rows += [(5000 + i, " ".join(f"p{i}q{j}" for j in range(12)))
+             for i in range(25)]
+    rows += [(6000 + i, " ".join(f"p{i}q{j}" for j in range(12)))
+             for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    twin_pairs = {(5000 + i, 6000 + i) for i in range(25)}
+    boiler_pairs = 200 * 199 // 2
+
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in dedup.lsh_candidate_pairs(df).collect()}
+    assert twin_pairs <= uncapped
+    n_boiler = sum(a < 200 and b < 200 for a, b in uncapped)
+    assert n_boiler == boiler_pairs  # the quadratic blow-up is real
+
+    capped = {(r["id_a"], r["id_b"])
+              for r in dedup.lsh_candidate_pairs(
+                  df, max_bucket_size=50).collect()}
+    assert not any(a < 200 and b < 200 for a, b in capped)  # hot bucket gone
+    assert twin_pairs <= capped  # small clusters untouched
+    # the candidate volume is now bounded by true dup structure, not m²
+    assert len(capped) < boiler_pairs / 10
+
+    # the verified path composes with the cap
+    verified = {(r["id_a"], r["id_b"])
+                for r in dedup.lsh_verified_pairs(
+                    df, max_bucket_size=50).collect()}
+    assert twin_pairs <= verified
+    assert not any(a < 200 and b < 200 for a, b in verified)
+
+
 def test_shingles_expr_matches_python_reference(spark):
     """The one-regex-scan shingle implementation must equal the definition
     (k-word windows over split-on-space words, empties dropped; short docs
@@ -243,3 +286,32 @@ def test_brute_topk_properties(spark, sf_smoke):
         cosines = [r["cosine"] for r in rs]
         assert cosines == sorted(cosines, reverse=True)
         assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_connected_components_semantics(spark):
+    """Min-label propagation: singletons self-label; chains/triangles
+    collapse to the min id; convergence beats max_iter on small diameters."""
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7, 9, 11]],
+                                 "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 5), (7, 9), (9, 11), (7, 11)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["component_id"]
+           for r in dedup.connected_components(docs, pairs).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 5: 2, 7: 7, 9: 7, 11: 7}
+
+
+def test_connected_components_on_planted_dups(spark, sf_smoke):
+    """Exact copies (i, i+200000) and near copies (i, i+100000) must land in
+    component min(i...) = i; docs in neither pair family are singletons."""
+    docs = dup_documents(spark, sf_smoke)
+    pairs = dedup.lsh_verified_pairs(docs)
+    comp = {r["doc_id"]: r["component_id"]
+            for r in dedup.connected_components(docs, pairs).collect()}
+    assert len(comp) == docs.count()
+    pair_rows = pairs.collect()
+    linked = {x for r in pair_rows for x in (r["id_a"], r["id_b"])}
+    for i in range(0, 500, 35):  # i%5==0 and i%7==0: cluster of 3
+        assert comp[i] == i and comp[i + 100000] == i and comp[i + 200000] == i
+    for d, c in comp.items():
+        if d not in linked:
+            assert c == d  # singleton labels itself

@@ -156,3 +156,32 @@ def test_edges_and_nodes(spark, sf_smoke):
     attrs = {r["node_id"]: r["attrs"] for r in nodes}
     some_addr = next(iter(by_type["address"]))
     assert "text" in attrs[some_addr]
+
+
+def test_validate_divergence_pinned(spark):
+    """PINNED reference quirk (do NOT 'fix' — see OPERATORS.md §2.2 P7 note):
+    the reference's validate_address_pattern regexes require a 동/읍/면
+    component, so they REJECT its own road-name positive samples and ACCEPT
+    bare region fragments. road_address_gate (the pipeline's actual
+    precision gate) has the opposite, structural behavior."""
+    from extract_address_ner_spark.operators.validate import (
+        road_address_gate,
+        validate_addresses,
+    )
+
+    cases = [
+        # (mention, validate_addresses verdict, passes road_address_gate)
+        ("서울특별시 강남구 테헤란로 123번길 45", False, True),
+        ("경기도 성남시 분당구 판교역로 235", False, True),
+        ("부산광역시 해운대구 해운대해변로 264", False, True),
+        ("서울시 강동구", True, False),          # bare fragment
+        ("서울특별시 강남구 역삼동 123번지", True, True),  # 동-style address
+    ]
+    df = spark.createDataFrame(
+        [(m,) for m, _v, _g in cases], "mention_text string")
+    verdicts = {r["mention_text"]: r["is_valid"]
+                for r in validate_addresses(df).collect()}
+    gated = {r["mention_text"] for r in road_address_gate(df).collect()}
+    for mention, valid, passes_gate in cases:
+        assert verdicts[mention] is valid, mention
+        assert (mention in gated) is passes_gate, mention

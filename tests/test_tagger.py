@@ -136,3 +136,45 @@ def test_bio_inclusion_rule():
     # with the fixture's looser end=28 the token is fully inside → I
     labels28 = oracle.bio_tags_from_span(toks, 3, 28)
     assert dict(zip([x[0] for x in toks], labels28))["45에서"] == "I-ADDRESS"
+
+
+def test_tagger_seam_contract_with_fake_neural_tagger(spark):
+    """A future NeuralTagger only needs to satisfy Tagger.tag() — canned
+    (token, label, confidence) sequences (the recorded-fixture surrogate for
+    torch inference) must flow through extract_mentions_pandas unchanged,
+    including the bare-I and B-B adjacency quirks and the special-token skip
+    of the reference decode (ml_model.py:352-437)."""
+    canned = {
+        # plain B-I + trailing O
+        "SEOUL GANGNAM X": (
+            [("SEOUL", 0, 5), ("GANGNAM", 6, 13), ("X", 14, 15)],
+            ["B-ADDRESS", "I-ADDRESS", "O"], [0.9, 0.8, 0.1]),
+        # B-B adjacency: second B flushes the first → two 1-token spans
+        "A B": ([("A", 0, 1), ("B", 2, 3)],
+                ["B-ADDRESS", "B-ADDRESS"], [0.7, 0.6]),
+        # bare-I run with no opening B still yields a span (reference quirk)
+        "I alone": ([("I", 0, 1), ("alone", 2, 7)],
+                    ["I-ADDRESS", "I-ADDRESS"], [0.5, 0.5]),
+        # zero-width special token is skipped, span bridges across it
+        "PAD  END": ([("PAD", 0, 3), ("", 4, 4), ("END", 5, 8)],
+                     ["B-ADDRESS", "I-ADDRESS", "I-ADDRESS"], [1.0, 0.0, 0.5]),
+    }
+
+    class FakeNeuralTagger:
+        def tag(self, texts):
+            for t in texts:
+                yield canned[t]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(canned)], "doc_id long, content string")
+    out = extract_mentions_pandas(
+        df, key_cols=("doc_id",), tagger_factory=FakeNeuralTagger)
+    got = {(r["doc_id"], r["mention_text"], r["m_start"], r["m_end"],
+            round(r["confidence"], 4)) for r in out.collect()}
+    assert got == {
+        (0, "SEOUL GANGNAM", 0, 13, 0.85),
+        (1, "A", 0, 1, 0.7),
+        (1, "B", 2, 3, 0.6),
+        (2, "I alone", 0, 7, 0.5),
+        (3, "PAD  END", 0, 8, 0.75),
+    }
