@@ -183,7 +183,11 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_groups(dup_documents(spark, sf_dir))
 
 
-_D_BASEHASH = f"({_D_H64.format('s')} % 2147483647)"
+# Double-hashing minhash term (mirrors dedup.hash_pairs_expr /
+# minhash_sig_expr): h1, h2 from hex chars 1-15 / 16-30 of ONE md5.
+_D_H1 = f"({_D_H64.format('s')} % 2147483647)"
+_D_H2 = "(CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT) % 2147483647)"
+_D_MINHASH_J = f"min(({_D_H1} + j * {_D_H2}) % 2147483647)"
 
 @register(
     "dedup_minhash_signatures",
@@ -193,7 +197,7 @@ words AS (SELECT doc_id, {_D_WS} AS ws FROM dup),
 sh AS (SELECT doc_id, {_D_SHINGLES} AS shingles FROM words),
 expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
 SELECT doc_id, CAST(j AS INT) AS h_idx,
-  min(((2 * j + 1) * {_D_BASEHASH} + 7919 * j) % 2147483647) AS minhash
+  {_D_MINHASH_J} AS minhash
 FROM expl CROSS JOIN generate_series(0, 15) t(j)
 GROUP BY doc_id, j""",
 )
@@ -209,7 +213,7 @@ words AS (SELECT doc_id, {_D_WS} AS ws FROM dup),
 sh AS (SELECT doc_id, {_D_SHINGLES} AS shingles FROM words),
 expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 sig AS (SELECT doc_id, j,
-        min(((2 * j + 1) * ({_D_H64.format('s')} % 2147483647) + 7919 * j) % 2147483647) AS mh
+        {_D_MINHASH_J} AS mh
         FROM expl CROSS JOIN generate_series(0, 15) t(j) GROUP BY doc_id, j),
 sigarr AS (SELECT doc_id, list(mh ORDER BY j) AS sl FROM sig GROUP BY doc_id),
 bands AS (SELECT doc_id, b AS band_idx,
@@ -231,7 +235,7 @@ words AS (SELECT doc_id, {_D_WS} AS ws FROM dup),
 sh AS (SELECT doc_id, {_D_SHINGLES} AS shingles FROM words),
 expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 sig AS (SELECT doc_id, j,
-        min(((2 * j + 1) * ({_D_H64.format('s')} % 2147483647) + 7919 * j) % 2147483647) AS mh
+        {_D_MINHASH_J} AS mh
         FROM expl CROSS JOIN generate_series(0, 15) t(j) GROUP BY doc_id, j),
 sigarr AS (SELECT doc_id, list(mh ORDER BY j) AS sl FROM sig GROUP BY doc_id),
 bands AS (SELECT doc_id, b AS band_idx,

@@ -104,17 +104,36 @@ def _h64(expr: str) -> str:
     return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
 
 
-# Universal-hash minhash parameters: base hash is md5-derived (cross-engine
-# reproducible) reduced mod the Mersenne prime M31; hash family j is
-# (a_j·h + b_j) mod M31 with a_j = 2j+1 (odd), b_j = 7919·j. Products stay
-# < 2^62 — exact in BIGINT on both engines (Spark 4 runs ANSI mode: overflow
-# would raise, so staying in range is load-bearing, not cosmetic).
+# Minhash family: DOUBLE HASHING (Kirsch-Mitzenmacher) — two independent
+# 60-bit values h1, h2 from ONE md5 per shingle (hex chars 1-15 and 16-30),
+# each reduced mod the Mersenne prime M31; family j is (h1 + j·h2) mod M31.
+# Round-1 used an affine family (2j+1)·h + 7919j over a SINGLE base hash —
+# small odd multipliers are piecewise-monotone transforms of h, so the
+# families in a band were strongly correlated and accidental band
+# collisions exploded with corpus size (measured: 20k distinct 24-word-
+# vocab docs → 35,773 accidental candidate pairs affine vs 600 with double
+# hashing; at 200k docs the affine family produced 1.87M candidates whose
+# verification dominated the dedup job and killed its core-scaling).
+# Products stay < 2^36 — exact in BIGINT on both engines (Spark 4 runs ANSI
+# mode: overflow would raise, so staying in range is load-bearing).
 M31 = 2147483647
 
 
+def hash_pairs_expr(arr_col: str) -> str:
+    """array<array<bigint>> of [h1, h2] per element of a string-array column
+    — ONE md5 per element (the nested transform materializes the hex string
+    before both substr reads; inlining by CollapseProject cannot duplicate
+    the md5 because the inner transform is a separate HOF)."""
+    return (
+        f"transform(transform({arr_col}, s -> md5(s)), m -> array("
+        f"CAST(conv(substr(m, 1, 15), 16, 10) AS BIGINT) % {M31}, "
+        f"CAST(conv(substr(m, 16, 15), 16, 10) AS BIGINT) % {M31}))"
+    )
+
+
 def minhash_sig_expr(hash_col: str, n_hashes: int = N_HASHES) -> str:
-    """array<bigint> of length n_hashes over a pre-computed base-hash array
-    column: sig[j] = min over shingle hashes h of (a_j·h + b_j) mod M31.
+    """array<bigint> of length n_hashes over a pre-computed [h1, h2]
+    pair-array column: sig[j] = min over shingles of (h1 + j·h2) mod M31.
 
     md5 runs ONCE per shingle (the per-j work is integer arithmetic), and the
     whole expression is wrapped in a dummy second reference to ``hash_col``:
@@ -125,7 +144,7 @@ def minhash_sig_expr(hash_col: str, n_hashes: int = N_HASHES) -> str:
     sig = (
         f"transform(sequence(0, {n_hashes - 1}), "
         f"j -> array_min(transform({hash_col}, "
-        f"h -> ((2 * j + 1) * h + 7919 * j) % {M31})))"
+        f"p -> (p[0] + j * p[1]) % {M31})))"
     )
     return f"CASE WHEN size({hash_col}) = -1 THEN NULL ELSE {sig} END"
 
@@ -143,10 +162,10 @@ def with_shingle_hashes(
     df: DataFrame, text_col: str = "text", out_col: str = "_hs",
     k: int = SHINGLE_K,
 ) -> DataFrame:
-    """Base 64-bit md5 hash per shingle, reduced mod M31 (one md5 per
-    shingle, shared by all hash families)."""
+    """[h1, h2] base-hash pair per shingle (one md5 per shingle, shared by
+    all hash families via double hashing)."""
     return with_shingles(df, text_col, "_shingles", k).withColumn(
-        out_col, F.expr(f"transform(_shingles, s -> {_h64('s')} % {M31})")
+        out_col, F.expr(hash_pairs_expr("_shingles"))
     )
 
 

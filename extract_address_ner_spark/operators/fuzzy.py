@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import M31, _h64, minhash_sig_expr
+from .dedup import hash_pairs_expr, minhash_sig_expr
 
 CHAR_NGRAM = 2
 
@@ -112,7 +112,7 @@ def fuzzy_match_lsh(
     n_bands = n_hashes // band_size
 
     def sig_bands(df, text_col, extra_cols):
-        hashes = f"transform(_cg, s -> {_h64('s')} % {M31})"
+        hashes = hash_pairs_expr("_cg")
         sig = minhash_sig_expr("_hs", n_hashes)
         bands = (
             f"transform(sequence(0, {n_bands - 1}), "

@@ -19,8 +19,12 @@ Methodology (each choice is load-bearing):
   real 100 TB workload shape.
 - Partitioning is FIXED across levels (64 input + 64 shuffle partitions):
   same job, same input, only parallelism varies.
-- Default 8M rows (kg) / 400k docs (dedup): long enough legs that per-stage
-  scheduling overhead and transient host noise amortize out.
+- Default 8M rows (kg) / 600k base docs (dedup): long enough legs that
+  per-stage scheduling overhead and transient host noise amortize out.
+- Dedup additionally pins input-split size (see JOBS) so a toy-sized corpus
+  yields the SAME ~80 input partitions at every parallelism level — the
+  default file-split heuristic scales splits with defaultParallelism and
+  starved the low-core legs' task supply.
 - spark.catalog.clearCache() before every timed trial: dedup/link operators
   persist() self-join subplans, and Spark's CacheManager matches by logical
   plan — without the clear, trial 2 would reuse trial 1's cached blocks and
@@ -95,9 +99,10 @@ sys.path.insert(0, {repo!r})
 from extract_address_ner_spark.session import get_spark
 
 cpus = int(sys.argv[1])
+conf = {{"spark.ui.showConsoleProgress": "false"}}
+conf.update({job_conf!r})
 spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions={parts},
-                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+                  shuffle_partitions={parts}, extra_conf=conf)
 corpus = spark.read.parquet({corpus!r})
 
 {job_body}
@@ -153,11 +158,25 @@ def job(c):
 
 JOBS = {
     # (prep template, job body, throughput counts input rows?, unit label,
-    #  default rows, output report file)
+    #  default rows, output report file, job-specific runner conf)
     "kg": (PREP_KG, JOB_KG, False, "triples/s", 8_000_000,
-           "BENCH_scaling_last_run.md"),
-    "dedup": (PREP_DEDUP, JOB_DEDUP, True, "docs/s", 400_000,
-              "BENCH_scaling_dedup_last_run.md"),
+           "BENCH_scaling_last_run.md", {}),
+    # Input-split pinning (dedup only): the dedup corpus is small enough
+    # (~80 MB compressed) that Spark's file-split heuristic
+    # maxSplitBytes = min(maxPartitionBytes, totalBytes/defaultParallelism)
+    # under-splits it — measured 5 input partitions at local[2] vs 41 at
+    # local[32], i.e. the low-parallelism legs got DIFFERENT (coarser) task
+    # granularity and the 8-core leg ran the narrow hash stage on ~4 busy
+    # cores. Pinning maxPartitionBytes=1m (with openCost=0) makes
+    # totalBytes/parallelism ≥ 1m at every tested level, so every leg gets
+    # the SAME ~80 input splits — fixed work, fixed partitioning, only
+    # parallelism varies. At 100 TB splits are full 128 MB blocks and this
+    # knob is unnecessary; it exists to make a toy-sized input behave like
+    # the real one.
+    "dedup": (PREP_DEDUP, JOB_DEDUP, True, "docs/s", 600_000,
+              "BENCH_scaling_dedup_last_run.md",
+              {"spark.sql.files.maxPartitionBytes": "1m",
+               "spark.sql.files.openCostInBytes": "0"}),
 }
 
 
@@ -175,7 +194,8 @@ def prep(template: str, rows: int, corpus_dir: str) -> None:
     assert "PREP_OK" in out.stdout
 
 
-def run(cpus: int, job_body: str, thru_rows: bool, corpus_dir: str) -> dict:
+def run(cpus: int, job_body: str, thru_rows: bool, corpus_dir: str,
+        job_conf: dict) -> dict:
     # The sandbox host is shared: external load inflates wall time unevenly
     # across parallelism levels and corrupts the ratio. Gate each level on a
     # quiet window (bounded wait), then RETRY the level if the best trial
@@ -189,7 +209,7 @@ def run(cpus: int, job_body: str, thru_rows: bool, corpus_dir: str) -> dict:
         out = subprocess.run(
             [sys.executable, "-c",
              RUNNER.format(repo=str(REPO), parts=PARTS, corpus=corpus_dir,
-                           job_body=job_body,
+                           job_body=job_body, job_conf=job_conf,
                            thru_rows="True" if thru_rows else "False"),
              str(cpus)],
             capture_output=True, text=True, check=True,
@@ -210,7 +230,7 @@ def main() -> None:
         i = argv.index("--job")
         job = argv[i + 1]
         del argv[i:i + 2]
-    prep_t, job_body, thru_rows, unit, default_rows, report = JOBS[job]
+    prep_t, job_body, thru_rows, unit, default_rows, report, job_conf = JOBS[job]
     rows = int(argv[0]) if argv else default_rows
     pairs = [(2, 8), (8, 32)]
     if len(argv) > 2:
@@ -220,9 +240,9 @@ def main() -> None:
     results = {}
     done: dict[int, dict] = {}
     for n, n4 in pairs:
-        rn = done.get(n) or run(n, job_body, thru_rows, corpus_dir)
+        rn = done.get(n) or run(n, job_body, thru_rows, corpus_dir, job_conf)
         done[n] = rn
-        r4 = done.get(n4) or run(n4, job_body, thru_rows, corpus_dir)
+        r4 = done.get(n4) or run(n4, job_body, thru_rows, corpus_dir, job_conf)
         done[n4] = r4
         ratio = r4["units_per_sec"] / rn["units_per_sec"]
         results[(n, n4)] = (rn, r4, ratio, ratio / 4)

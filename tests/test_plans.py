@@ -1,0 +1,92 @@
+"""Physical-plan regression pins for the scale claims in PLANS.md.
+
+These assert the plan SHAPE (join strategy, top-k operator, partial
+aggregation, scan pruning/pushdown), not timings — the properties that
+decide whether an operator survives a 100× scale-up. If a refactor or a
+Spark upgrade silently degrades one (broadcast → sort-merge, top-k →
+global sort, pruned scan → full scan), these fail before any benchmark
+does.
+"""
+
+from pyspark.sql import functions as F
+
+from extract_address_ner_spark.operators import ann
+from extract_address_ner_spark.operators.canonicalize import canonicalize_mentions
+from extract_address_ner_spark.operators.link import build_edges
+from extract_address_ner_spark.operators.tagger import extract_mentions
+from extract_address_ner_spark.operators.validate import road_address_gate
+from extract_address_ner_spark.sources import corpus as C
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_graph_edges_joins_are_broadcast_only(spark, sf_smoke):
+    """The 100 TB fact side must never shuffle for the dimension joins:
+    BroadcastHashJoin only, zero SortMergeJoin in the full KG chain."""
+    edges = build_edges(
+        canonicalize_mentions(
+            road_address_gate(
+                extract_mentions(C.corpus_from_documents(spark, sf_smoke))
+            )
+        )
+    )
+    plan = _plan(edges)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_events_latest_n_is_take_ordered(spark, sf_smoke):
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    topk = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(100)
+    plan = _plan(topk)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort operator
+
+
+def test_seed_centroids_is_take_ordered(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    plan = _plan(ann.seed_centroids(emb, n_centroids=32))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_assign_argmax_is_partially_aggregated(spark, sf_smoke):
+    """The nearest-centroid argmax must be max(struct(...)) with a map-side
+    partial (one combined row per vector crosses the shuffle), NOT a
+    row_number window (which would shuffle-and-sort every scored row)."""
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    cents = ann.seed_centroids(emb, n_centroids=32)
+    plan = _plan(ann.ivf_assign(emb, cents))
+    assert "partial_max" in plan
+    assert "Window" not in plan
+
+
+def test_corpus_scan_is_pruned_to_needed_columns(spark, sf_smoke):
+    """documents has (doc_id, text, lang, ...); the mention pipeline must
+    read exactly the columns the derivation uses — at 100 TB a scan that
+    reads extra columns is wrong."""
+    m = extract_mentions(C.corpus_from_documents(spark, sf_smoke))
+    plan = _plan(m)
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    cols = {c.split(":")[0] for s in schemas for c in s.split(",") if c}
+    assert cols == {"doc_id", "text", "lang"}
+
+
+def test_ann_query_filter_pushed_to_scan(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    plan = _plan(ann.brute_force_topk(emb, queries, k=10))
+    assert "LessThan(vec_id,5)" in plan  # PushedFilters reaches parquet
+
+
+def test_repo_counts_aggregation_has_map_side_partial(spark, sf_smoke):
+    from extract_address_ner_spark.operators.link import repo_mention_counts
+
+    m = extract_mentions(C.corpus_from_documents(spark, sf_smoke))
+    plan = _plan(repo_mention_counts(m))
+    assert "partial_" in plan  # partial agg before every exchange
