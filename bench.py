@@ -172,7 +172,11 @@ def main() -> None:
     # operator: identical back-to-back runs were observed at 68s -> 20s ->
     # 12s -> 7s as tiered compilation recovered from megamorphic call sites.
     spark.stop()
-    _wait_quiet()
+    # the suite's own JVM shutdown + co-tenant load right after it is the
+    # most contended moment of the run — give the north-metric measurement
+    # a longer quiet-window budget (measured 18.7s vs 3.3s for the same job
+    # contended vs quiet)
+    _wait_quiet(threshold=2.0, max_wait_s=300)
     kg = _kg_subprocess(bench_rows, cpus)
     n_triples = kg["n_triples"]
     triples_sec = kg["sec"]
