@@ -34,6 +34,8 @@ itself cannot know when it is safe to unpersist). Storage is MEMORY_AND_DISK
 and LRU-evictable, so correctness is never at risk, but LONG-LIVED sessions
 issuing many dedup calls should ``spark.catalog.clearCache()`` between
 workloads (bench.py does; a one-shot spark-submit job doesn't need to).
+``connected_components`` unpersists every intermediate round itself and
+leaves only its final (already materialized) label table cached.
 """
 
 from __future__ import annotations

@@ -1,0 +1,212 @@
+"""Memory-bus vs JVM-internal contention probe for the 8→32 scaling ceiling.
+
+BENCH.md claims the 8→32 (and 16→32) efficiency collapse on this box is the
+SHARED MEMORY BUS, not a Spark/JVM defect. This probe separates the two
+hypotheses with a process-level experiment the /proc/stat counters cannot:
+
+- arm ``one32``:  ONE JVM, local[32], full corpus.
+- arm ``two16``:  TWO JVMs, local[16] each, CONCURRENT, on disjoint halves
+  of the same parquet files (even/odd part files). Total threads, total
+  rows, and total heap are the same as ``one32``; what changes is that each
+  half runs in its own JVM (own heap, own GC, own allocator, own locks).
+- arm ``half16``: ONE JVM, local[16], one half, ALONE (quiet control — the
+  uncontended 16-thread throughput for half the work).
+- arm ``one32big``: ``one32`` with a 96g heap (vs the default 48g) — two16
+  has 2× the aggregate heap of one32, so this isolates the heap-size
+  confound from thread-count-in-one-JVM effects.
+- arm ``four8``: FOUR JVMs, local[8] each, CONCURRENT, on disjoint quarters
+  — the shape a real cluster actually runs (executors are 4-8-core JVMs),
+  so this is the direct sandbox proxy for "4× the executors".
+- arm ``four8quota``: ``four8`` with each JVM's heap (24g) and GC/JIT
+  threads (ParallelGCThreads=8, ActiveProcessorCount=8) sized to its
+  quota, as a cgroup-aware executor JVM on YARN/K8s sizes them. A bare
+  local[8] JVM on this box sizes GC threads to all 32 hardware cores, so
+  four co-running bare JVMs oversubscribe the box ~3× whenever GCs
+  overlap — a sandbox artifact a real cluster manager prevents.
+- arms ``one2quota`` / ``four2quota``: the TRUE multi-process N→4N
+  executor proxy. one2quota = ONE quota-sized 2-core executor JVM over the
+  FULL corpus (throughput T1); four2quota = FOUR such JVMs over disjoint
+  quarters of the same files (aggregate T4 = total rows / slowest leg).
+  Executor-scaling efficiency = T4 / (4·T1). With at most 8 busy threads
+  the box's memory bus is far from saturation, so — unlike the
+  thread-based local[8]→local[32] pair — this pair isolates exactly what
+  the north rule asks about: adding EXECUTORS, each a separate JVM with
+  its own heap/GC, over partitioned input.
+
+Interpretation:
+- If the ceiling is the HARDWARE bus/LLC: ``two16`` aggregate throughput ≈
+  ``one32`` (same total memory traffic through the same bus), and each
+  concurrent half runs measurably slower than ``half16`` alone.
+- If the ceiling were JVM-internal (GC pauses, allocation lock, shared-heap
+  cache churn): splitting into two JVMs removes it, so ``two16`` would beat
+  ``one32`` clearly and each half would run at ≈ ``half16`` speed.
+
+The probed job is the narrow KG extraction stage (extract mentions → gate →
+count) — scan-heavy, no shuffle, so the result is not confounded by
+shuffle-partition co-location. Corpus: the parquet corpus materialized by
+``scripts/scaling_bench.py --job kg`` (run that first).
+
+Usage: python scripts/bus_probe.py [corpus_dir] [arm ...]
+(arms default to: one32 half16 two16; also available: one32big four8)
+Writes nothing; prints one JSON line per arm plus a verdict line — results
+are hand-curated into BENCH.md like every other scaling number.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+PARTS = 64
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from extract_address_ner_spark.session import get_spark
+from extract_address_ner_spark.operators.tagger import extract_mentions
+from extract_address_ner_spark.operators.validate import road_address_gate
+
+cpus = int(sys.argv[1])
+files = sys.argv[2].split(",")
+heap = sys.argv[3] if len(sys.argv) > 3 else "48g"
+gc_threads = sys.argv[4] if len(sys.argv) > 4 else ""
+conf = {{"spark.ui.showConsoleProgress": "false",
+         "spark.driver.memory": heap}}
+if gc_threads:
+    # Container-aware sizing proxy: a YARN/K8s-launched executor JVM sees
+    # its cgroup quota and sizes ParallelGCThreads to it; a bare local[K]
+    # JVM on this box sizes them to all 32 hardware cores, so co-running
+    # JVMs oversubscribe the box with GC threads during concurrent GCs.
+    conf["spark.driver.extraJavaOptions"] = (
+        f"-XX:ParallelGCThreads={{gc_threads}} -XX:ConcGCThreads=2"
+        f" -XX:ActiveProcessorCount={{cpus}}")
+spark = get_spark(app_name=f"busprobe-{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions={parts}, extra_conf=conf)
+corpus = spark.read.parquet(*files)
+
+def job(c):
+    return road_address_gate(extract_mentions(c))
+
+n_rows = corpus.count()                 # untimed
+job(corpus.limit(20000)).count()        # warm-up: JIT/codegen, untimed
+t0 = time.monotonic()
+n = job(corpus).count()
+dt = time.monotonic() - t0
+print(json.dumps({{"cpus": cpus, "n_files": len(files), "n_rows": n_rows,
+                   "n_out": n, "sec": round(dt, 3),
+                   "rows_per_sec": round(n_rows / dt, 1)}}))
+spark.stop()
+"""
+
+
+def _loadavg() -> float:
+    return float(Path("/proc/loadavg").read_text().split()[0])
+
+
+def _wait_quiet(limit: float = 2.0, max_wait: int = 600) -> float:
+    waited = 0
+    while _loadavg() > limit and waited < max_wait:
+        time.sleep(30)
+        waited += 30
+    return _loadavg()
+
+
+def _spawn(cpus: int, files: list[str], heap: str = "48g",
+           gc_threads: str = "") -> subprocess.Popen:
+    return subprocess.Popen(
+        [sys.executable, "-c", CHILD.format(repo=str(REPO), parts=PARTS),
+         str(cpus), ",".join(files), heap, gc_threads],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+
+
+def _result(p: subprocess.Popen) -> dict:
+    out, _ = p.communicate()
+    line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _concurrent(split_files: list[list[str]], cpus: int,
+                heap: str = "48g", gc_threads: str = "") -> dict:
+    t0 = time.monotonic()
+    procs = [_spawn(cpus, fs, heap, gc_threads) for fs in split_files]
+    rs = [_result(p) for p in procs]
+    wall = time.monotonic() - t0
+    agg = sum(r["n_rows"] for r in rs) / max(r["sec"] for r in rs)
+    return {"jvms": rs, "wall_incl_startup": round(wall, 3),
+            "agg_rows_per_sec": round(agg, 1)}
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    corpus_dir = argv[0] if argv and not argv[0].isalnum() else \
+        "/tmp/scaling_corpus_kg_parquet"
+    arms = [a for a in argv if a in
+            ("one32", "half16", "two16", "one32big", "four8",
+             "four8quota", "one2quota", "four2quota")] or \
+        ["one32", "half16", "two16"]
+    parts = sorted(str(p) for p in Path(corpus_dir).glob("*.parquet"))
+    if len(parts) < 4:
+        raise SystemExit(f"need a materialized corpus at {corpus_dir} "
+                         "(run scripts/scaling_bench.py --job kg first)")
+    halves = [parts[0::2], parts[1::2]]
+    quarters = [parts[i::4] for i in range(4)]
+
+    out: dict[str, dict] = {}
+    for arm in arms:
+        _wait_quiet()
+        if arm == "one32":
+            out[arm] = _result(_spawn(32, parts))
+        elif arm == "one32big":
+            out[arm] = _result(_spawn(32, parts, heap="96g"))
+        elif arm == "half16":
+            out[arm] = _result(_spawn(16, halves[0]))
+        elif arm == "two16":
+            out[arm] = _concurrent(halves, 16)
+        elif arm == "four8":
+            out[arm] = _concurrent(quarters, 8)
+        elif arm == "four8quota":
+            # the real-cluster shape: 4 × 8-core executor JVMs, each with
+            # container-quota-sized heap + GC/JIT threads (what YARN/K8s
+            # cgroup-aware JVMs get; a bare local[8] here sizes GC threads
+            # to the full 32-core box and 4 such JVMs thrash each other)
+            out[arm] = _concurrent(quarters, 8, heap="24g", gc_threads="8")
+        elif arm == "one2quota":
+            out[arm] = _result(_spawn(2, parts, heap="8g", gc_threads="2"))
+        elif arm == "four2quota":
+            out[arm] = _concurrent(quarters, 2, heap="8g", gc_threads="2")
+        print(json.dumps({"arm": arm, **out[arm]}))
+
+    # Verdict arithmetic (the startup-free comparison uses each child's own
+    # timed section): bus-limited ⇒ ratio_two16_vs_one32 ≈ 1 and
+    # slowdown_vs_alone > 1; JVM-limited ⇒ ratio clearly > 1, slowdown ≈ 1.
+    if {"one2quota", "four2quota"} <= out.keys():
+        t1 = out["one2quota"]["rows_per_sec"]
+        t4 = out["four2quota"]["agg_rows_per_sec"]
+        print(json.dumps({
+            "arm": "executor_scaling_verdict",
+            "one_executor_rows_per_sec": t1,
+            "four_executors_agg_rows_per_sec": t4,
+            "speedup": round(t4 / t1, 3),
+            "efficiency_n_to_4n_executors": round(t4 / (4 * t1), 3),
+        }))
+    if {"one32", "half16", "two16"} <= out.keys():
+        ratio = out["two16"]["agg_rows_per_sec"] / out["one32"]["rows_per_sec"]
+        slowdown = (max(r["sec"] for r in out["two16"]["jvms"])
+                    / out["half16"]["sec"])
+        print(json.dumps({
+            "arm": "verdict",
+            "two16_vs_one32_throughput_ratio": round(ratio, 3),
+            "concurrent_half_vs_alone_slowdown": round(slowdown, 3),
+            "reading": ("bus-limited" if ratio < 1.15 and slowdown > 1.2
+                        else "jvm-limited" if ratio > 1.3 and slowdown < 1.1
+                        else "mixed/inconclusive"),
+        }))
+
+
+if __name__ == "__main__":
+    main()

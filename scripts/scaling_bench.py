@@ -288,13 +288,16 @@ contaminated). Generated by
 
 North-rule target: efficiency ≥ 0.8 between N and 4N executors.
 
-**Measurement caveat (single box):** all local[K] threads share ONE memory
-bus, LLC, JVM heap, and turbo-frequency budget. Scan-heavy stages saturate
-this box's memory bandwidth at roughly 8-16 threads (CPU utilization stays
-~K×100% while throughput flattens), so the 8→32 pair understates what 4×
-the *executors* (4× memory buses on a real cluster) delivers; the 2→8 pair
-runs below the bandwidth ceiling and is the representative
-per-executor-scaling proxy. Both are reported.
+**Measurement caveat (single box, one JVM):** all local[K] threads share
+ONE JVM heap/GC, LLC, memory bus, and turbo budget. Thread scaling inside
+one JVM stalls at roughly 16 threads — the round-2 contention probe
+(scripts/bus_probe.py, table in BENCH.md) shows this is mostly GC/safepoint
+work growing with in-JVM thread count (two concurrent 16-thread JVMs
+deliver 1.72× one 32-thread JVM on the same cores), so the 8→32 pair
+understates what 4× the *executors* (separate quota-sized JVMs on a real
+cluster) delivers. The 2→8 pair runs below that wall and is the
+representative per-executor proxy; BENCH.md's multi-process executor-proxy
+measurement is the executor-shaped evidence.
 
 Per-query suite timings are NOT reproduced here (this file records only
 what THIS run measured): see the latest BENCH_r*.json (driver-recorded,
