@@ -9,6 +9,10 @@ Env:
     SPARK_GRAFT_CPUS        local[N] cores (default 32)
     SPARK_GRAFT_BENCH_ROWS  synthetic corpus rows for the triples/sec
                             measurement (default 200000)
+    SPARK_GRAFT_BW_GATE     set to 0 to skip the memory-bus quiet gate
+                            (scripts/hostbw.py) — rates are still recorded
+                            in kg_bus_gbps_pre_post so contaminated runs
+                            stay visible
 
 Timing action is a noop-format write (forces full materialization of every
 column, no sink IO). Methodology: per-query warm-up run (codegen/JIT, a
@@ -34,6 +38,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from extract_address_ner_spark import entry_queries as EQ  # noqa: E402
 from extract_address_ner_spark import entry_queries_data  # noqa: E402,F401
 from extract_address_ner_spark.session import get_spark  # noqa: E402
+from scripts.hostbw import wait_for_bw  # noqa: E402
 
 HEADLINE = [
     "extract_mentions",
@@ -97,14 +102,22 @@ def kg(c):
 
 kg(corpus.limit(20000)).count()  # warm-up (codegen/JIT), not timed
 # best-of-3: the sandbox host is shared — min over trials is the
-# least-contended estimate
-best, n = None, 0
+# least-contended estimate. Each trial additionally waits for a
+# measured-quiet memory bus (co-tenant bandwidth pressure is invisible to
+# loadavg//proc/stat — scripts/hostbw.py) and records the pre/post rates.
+from scripts.hostbw import copy_gbps, wait_for_bw
+best, n, bw_at_best = None, 0, (0.0, 0.0)
 for _ in range(3):
+    bw_pre = wait_for_bw(max_wait_s=120)
     t0 = time.monotonic()
     n = kg(corpus).count()
     dt = time.monotonic() - t0
-    best = dt if best is None else min(best, dt)
-print(json.dumps({{"n_triples": n, "sec": round(best, 3)}}))
+    bw_post = copy_gbps()
+    if best is None or dt < best:
+        best, bw_at_best = dt, (bw_pre, bw_post)
+print(json.dumps({{"n_triples": n, "sec": round(best, 3),
+                   "bw_gbps": [round(bw_at_best[0], 1),
+                               round(bw_at_best[1], 1)]}}))
 spark.stop()
 import shutil
 shutil.rmtree(corpus_dir, ignore_errors=True)
@@ -149,6 +162,8 @@ def main() -> None:
     # local-mode JVM vary 5-10x with code-cache/JIT state and measure the
     # compiler, not the operator.
     _wait_quiet()
+    wait_for_bw(max_wait_s=120)  # bus-quiet too — loadavg can't see
+                                 # co-tenant memory pressure (hostbw.py)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         _materialize(qmap[name](spark, sf_dir))  # warm-up, not timed
@@ -181,6 +196,7 @@ def main() -> None:
     n_triples = kg["n_triples"]
     triples_sec = kg["sec"]
     timings["kg_triples_synth"] = round(triples_sec, 3)
+    bw_gbps = kg.get("bw_gbps")
 
     total = round(sum(timings.values()), 3)
     print(
@@ -194,6 +210,7 @@ def main() -> None:
                 "corpus_rows": bench_rows,
                 "n_triples": n_triples,
                 "triples_per_sec": round(n_triples / triples_sec, 1),
+                "kg_bus_gbps_pre_post": bw_gbps,
                 "cpus": cpus,
             }
         )

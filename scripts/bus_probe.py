@@ -73,17 +73,11 @@ from extract_address_ner_spark.operators.validate import road_address_gate
 cpus = int(sys.argv[1])
 files = sys.argv[2].split(",")
 heap = sys.argv[3] if len(sys.argv) > 3 else "48g"
-gc_threads = sys.argv[4] if len(sys.argv) > 4 else ""
+javaopts = sys.argv[4] if len(sys.argv) > 4 else ""
 conf = {{"spark.ui.showConsoleProgress": "false",
          "spark.driver.memory": heap}}
-if gc_threads:
-    # Container-aware sizing proxy: a YARN/K8s-launched executor JVM sees
-    # its cgroup quota and sizes ParallelGCThreads to it; a bare local[K]
-    # JVM on this box sizes them to all 32 hardware cores, so co-running
-    # JVMs oversubscribe the box with GC threads during concurrent GCs.
-    conf["spark.driver.extraJavaOptions"] = (
-        f"-XX:ParallelGCThreads={{gc_threads}} -XX:ConcGCThreads=2"
-        f" -XX:ActiveProcessorCount={{cpus}}")
+if javaopts:
+    conf["spark.driver.extraJavaOptions"] = javaopts
 spark = get_spark(app_name=f"busprobe-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions={parts}, extra_conf=conf)
 corpus = spark.read.parquet(*files)
@@ -115,11 +109,20 @@ def _wait_quiet(limit: float = 2.0, max_wait: int = 600) -> float:
     return _loadavg()
 
 
+def _quota_opts(cpus: int) -> str:
+    # Container-aware sizing proxy: a YARN/K8s-launched executor JVM sees
+    # its cgroup quota and sizes ParallelGCThreads to it; a bare local[K]
+    # JVM on this box sizes them to all 32 hardware cores, so co-running
+    # JVMs oversubscribe the box with GC threads during concurrent GCs.
+    return (f"-XX:ParallelGCThreads={cpus} -XX:ConcGCThreads=2"
+            f" -XX:ActiveProcessorCount={cpus}")
+
+
 def _spawn(cpus: int, files: list[str], heap: str = "48g",
-           gc_threads: str = "") -> subprocess.Popen:
+           javaopts: str = "") -> subprocess.Popen:
     return subprocess.Popen(
         [sys.executable, "-c", CHILD.format(repo=str(REPO), parts=PARTS),
-         str(cpus), ",".join(files), heap, gc_threads],
+         str(cpus), ",".join(files), heap, javaopts],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
     )
 
@@ -131,9 +134,9 @@ def _result(p: subprocess.Popen) -> dict:
 
 
 def _concurrent(split_files: list[list[str]], cpus: int,
-                heap: str = "48g", gc_threads: str = "") -> dict:
+                heap: str = "48g", javaopts: str = "") -> dict:
     t0 = time.monotonic()
-    procs = [_spawn(cpus, fs, heap, gc_threads) for fs in split_files]
+    procs = [_spawn(cpus, fs, heap, javaopts) for fs in split_files]
     rs = [_result(p) for p in procs]
     wall = time.monotonic() - t0
     agg = sum(r["n_rows"] for r in rs) / max(r["sec"] for r in rs)
@@ -147,7 +150,8 @@ def main() -> None:
         "/tmp/scaling_corpus_kg_parquet"
     arms = [a for a in argv if a in
             ("one32", "half16", "two16", "one32big", "four8",
-             "four8quota", "one2quota", "four2quota")] or \
+             "four8quota", "one2quota", "four2quota",
+             "one32pgc", "one32bigyoung")] or \
         ["one32", "half16", "two16"]
     parts = sorted(str(p) for p in Path(corpus_dir).glob("*.parquet"))
     if len(parts) < 4:
@@ -174,11 +178,23 @@ def main() -> None:
             # container-quota-sized heap + GC/JIT threads (what YARN/K8s
             # cgroup-aware JVMs get; a bare local[8] here sizes GC threads
             # to the full 32-core box and 4 such JVMs thrash each other)
-            out[arm] = _concurrent(quarters, 8, heap="24g", gc_threads="8")
+            out[arm] = _concurrent(quarters, 8, "24g", _quota_opts(8))
         elif arm == "one2quota":
-            out[arm] = _result(_spawn(2, parts, heap="8g", gc_threads="2"))
+            out[arm] = _result(_spawn(2, parts, "8g", _quota_opts(2)))
         elif arm == "four2quota":
-            out[arm] = _concurrent(quarters, 2, heap="8g", gc_threads="2")
+            out[arm] = _concurrent(quarters, 2, "8g", _quota_opts(2))
+        elif arm == "one32pgc":
+            # GC-collector experiment: if the one32 wall is GC work, the
+            # Parallel (throughput) collector may beat default G1 for this
+            # allocation-heavy batch shape
+            out[arm] = _result(_spawn(32, parts, "48g", "-XX:+UseParallelGC"))
+        elif arm == "one32bigyoung":
+            # G1 with a large young gen: fewer, bigger young GCs for a
+            # pure-allocation workload with little promotion
+            out[arm] = _result(_spawn(
+                32, parts, "48g",
+                "-XX:+UnlockExperimentalVMOptions -XX:G1NewSizePercent=40"
+                " -XX:G1MaxNewSizePercent=70"))
         print(json.dumps({"arm": arm, **out[arm]}))
 
     # Verdict arithmetic (the startup-free comparison uses each child's own

@@ -1,0 +1,77 @@
+"""Host memory-bandwidth probe — the contamination detector loadavg can't be.
+
+This sandbox shares hardware with co-tenants OUTSIDE the VM. Their memory
+traffic slows ours (per-access latency rises while our threads stay 100%
+"running"), so neither loadavg nor /proc/stat busy-cores can see it — but a
+timed large memcpy can, directly. Measured on 2026-08-17 (1-min loadavg
+0.38 throughout): single-threaded 128 MB numpy copy rates over 60 s were
+cleanly bimodal — 0.09-0.5 GB/s for ~half the samples (external pressure)
+vs 4.5-5.8 GB/s for the rest (quiet). A 3.0 GB/s threshold separates the
+modes with an order of magnitude of margin on each side.
+
+Used by bench.py (north-metric gate) and scripts/scaling_bench.py (per-leg
+gate): wait until the copy rate says the bus is actually quiet, and record
+the pre/post rates next to every timed number so a contaminated trial is
+visible in the output rather than silently averaged in.
+
+Caveat: the probe measures the bus AT THE PROBE'S MOMENT; pressure can
+arrive mid-trial. Gating before each trial + best-of-N + reporting the
+post-trial rate bounds (not eliminates) that window.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+_SIZE_MB = 128
+_buf = None
+
+
+def _buffer() -> "np.ndarray":
+    global _buf
+    if _buf is None:
+        _buf = np.ones(_SIZE_MB * 1024 * 1024 // 8)
+        _buf.copy()  # touch allocator arenas once, untimed
+    return _buf
+
+
+def copy_gbps(samples: int = 3, pause_s: float = 0.2) -> float:
+    """Median single-threaded copy rate (GB of payload copied per second)
+    over `samples` copies. ~40 ms per copy when quiet, ~1.5 s contended."""
+    a = _buffer()
+    rates = []
+    for i in range(samples):
+        t0 = time.monotonic()
+        a.copy()
+        rates.append(_SIZE_MB / 1024 / (time.monotonic() - t0))
+        if i + 1 < samples:
+            time.sleep(pause_s)
+    rates.sort()
+    return rates[len(rates) // 2]
+
+
+def wait_for_bw(min_gbps: float = 3.0, max_wait_s: int = 600,
+                settle_s: float = 5.0) -> float:
+    """Bounded wait for a quiet-bus window: require TWO probe medians
+    `settle_s` apart above the threshold (the pressure flips on second
+    timescales — a single good instant is not a window). Returns the last
+    measured rate; proceeds regardless once max_wait_s is exhausted (the
+    caller records the rate, so a forced-through contaminated run is
+    visible). Set SPARK_GRAFT_BW_GATE=0 to skip the wait (smoke tests);
+    the returned rate still records the actual bus state."""
+    if os.environ.get("SPARK_GRAFT_BW_GATE") == "0":
+        return copy_gbps(samples=1)
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        r1 = copy_gbps()
+        if r1 >= min_gbps:
+            time.sleep(settle_s)
+            r2 = copy_gbps()
+            if r2 >= min_gbps:
+                return r2
+        if time.monotonic() >= deadline:
+            return copy_gbps()
+        time.sleep(10)

@@ -97,6 +97,7 @@ RUNNER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from extract_address_ner_spark.session import get_spark
+from scripts.hostbw import copy_gbps, wait_for_bw
 
 cpus = int(sys.argv[1])
 conf = {{"spark.ui.showConsoleProgress": "false"}}
@@ -116,24 +117,30 @@ def cpu_ticks():
     return sum(v) - v[3] - v[4], sum(v)
 
 NCPU = os.cpu_count()
-best, ext_at_best, n = None, None, 0
+best, ext_at_best, bw_at_best, n = None, None, (0.0, 0.0), 0
 for _ in range(2):  # best-of-2 (legs are long; min rejects contended runs)
     spark.catalog.clearCache()  # operators persist(); plan-matched cache
                                 # reuse would shrink the second trial's job
+    # co-tenant memory pressure is invisible to loadavg//proc/stat — gate
+    # each trial on a measured-quiet bus and record the pre/post rates
+    bw_pre = wait_for_bw()
     b0, t0j = cpu_ticks()
     t0 = time.monotonic()
     n = job(corpus).count()
     dt = time.monotonic() - t0
     b1, t1j = cpu_ticks()
+    bw_post = copy_gbps()
     # host-wide busy cores during THIS trial; our own job can occupy at most
     # `cpus` of them, so anything above that is external interference
     busy_cores = NCPU * (b1 - b0) / max(1, t1j - t0j)
     ext = max(0.0, busy_cores - cpus)
     if best is None or dt < best:
-        best, ext_at_best = dt, ext
+        best, ext_at_best, bw_at_best = dt, ext, (bw_pre, bw_post)
 thru = ({thru_rows} and n_rows or n) / best
 print(json.dumps({{"cpus": cpus, "n_out": n, "n_rows": n_rows,
                    "sec": round(best, 3), "ext_during": round(ext_at_best, 1),
+                   "bw_pre": round(bw_at_best[0], 1),
+                   "bw_post": round(bw_at_best[1], 1),
                    "units_per_sec": round(thru, 1)}}))
 spark.stop()
 """
@@ -199,7 +206,9 @@ def run(cpus: int, job_body: str, thru_rows: bool, corpus_dir: str,
     # The sandbox host is shared: external load inflates wall time unevenly
     # across parallelism levels and corrupts the ratio. Gate each level on a
     # quiet window (bounded wait), then RETRY the level if the best trial
-    # still ran under measurable external load.
+    # still ran under measurable external load — CPU-visible (/proc/stat
+    # busy cores) OR bus-visible (memcpy rate: co-tenant memory pressure is
+    # invisible to every in-guest CPU counter; see scripts/hostbw.py).
     cleanest = None
     for attempt in range(3):
         waited = 0
@@ -216,11 +225,14 @@ def run(cpus: int, job_body: str, thru_rows: bool, corpus_dir: str,
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
-        if cleanest is None or r["ext_during"] < cleanest["ext_during"]:
+        clean = (r["ext_during"] <= 2.0
+                 and r["bw_pre"] >= 3.0 and r["bw_post"] >= 3.0)
+        if cleanest is None or (r["ext_during"], -min(r["bw_pre"], r["bw_post"])) \
+                < (cleanest["ext_during"], -min(cleanest["bw_pre"], cleanest["bw_post"])):
             cleanest = r
-        if r["ext_during"] <= 2.0:
+        if clean:
             return r
-    return cleanest  # all attempts contaminated — ext_during records it
+    return cleanest  # all attempts contaminated — ext/bw fields record it
 
 
 def main() -> None:
@@ -253,7 +265,9 @@ def main() -> None:
             f"| local[{n}] (N) | {rn['sec']} | {rn['units_per_sec']:,} "
             f"| local[{n4}] (4N) | {r4['sec']} | {r4['units_per_sec']:,} "
             f"| {ratio:.2f}× | **{eff:.2f}** "
-            f"| {rn['ext_during']:.1f}/{r4['ext_during']:.1f} |"
+            f"| {rn['ext_during']:.1f}/{r4['ext_during']:.1f} "
+            f"| {min(rn['bw_pre'], rn['bw_post']):.1f}/"
+            f"{min(r4['bw_pre'], r4['bw_post']):.1f} |"
         )
     table = "\n".join(rows_md)
     any_r = list(results.values())[0][0]
@@ -279,11 +293,15 @@ corpus TABLE — a compressed columnar scan is the true 100 TB workload
 shape. `ext load` is external busy-cores measured from /proc/stat DURING
 the best trial (host-wide busy cores minus our own worker-thread cap —
 this sandbox shares hardware; levels wait for a quiet window and retry if
-contaminated). Generated by
+contaminated). `bus GB/s` is the min of the memcpy-probe rates measured
+immediately before and after the best trial (scripts/hostbw.py — co-tenant
+memory pressure is invisible to CPU counters; quiet ≥ 3.0, contended mode
+measures 0.1-0.5): every trial additionally WAITS for a measured-quiet bus
+before starting. Generated by
 `python scripts/scaling_bench.py {rows} --job {job}` at {stamp}.
 
-| N | wall s | {unit} | 4N | wall s | {unit} | speed-up | efficiency | ext load N/4N |
-|---|---|---|---|---|---|---|---|---|
+| N | wall s | {unit} | 4N | wall s | {unit} | speed-up | efficiency | ext load N/4N | bus GB/s N/4N |
+|---|---|---|---|---|---|---|---|---|---|
 {table}
 
 North-rule target: efficiency ≥ 0.8 between N and 4N executors.
