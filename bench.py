@@ -2,7 +2,14 @@
 
     {"metric": "headline_suite_sec", "value": N, "unit": "sec",
      "queries": {...per-query sec...}, "sf": 0.1,
-     "triples_per_sec": T, "n_triples": K, "corpus_rows": M}
+     "triples_per_sec": T, "n_triples": K, "corpus_rows": M,
+     "triples_per_sec_lc": T2}
+
+triples_per_sec runs the KG path in ONE local[cpus] JVM (round-comparable
+series); triples_per_sec_lc runs the SAME job on the same total cores in
+the DEPLOYMENT shape — real multi-process executors via the local-cluster
+master (one quota-sized worker JVM per 8 cores), which avoids the
+single-JVM thread-scaling wall documented in BENCH.md's contention probe.
 
 Env:
     SPARK_GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
@@ -83,10 +90,23 @@ from extract_address_ner_spark.operators.link import build_edges
 from extract_address_ner_spark.sources.corpus import synthesize_corpus
 
 cpus, rows = int(sys.argv[1]), int(sys.argv[2])
+mode = sys.argv[3] if len(sys.argv) > 3 else "local"
 parts = cpus * 8
-spark = get_spark(app_name="kg-bench", master=f"local[{{cpus}}]",
-                  shuffle_partitions=parts,
-                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+conf = {{"spark.ui.showConsoleProgress": "false"}}
+if mode == "lc":
+    # deployment shape: REAL multi-process executors (local-cluster master,
+    # one quota-sized worker JVM per executor) on the SAME total cores —
+    # avoids the single-JVM thread-scaling wall (BENCH.md contention probe)
+    n_exec, exec_cores = max(1, cpus // 8), 8
+    master = f"local-cluster[{{n_exec}},{{exec_cores}},16384]"
+    conf["spark.executor.memory"] = "14g"
+    conf["spark.executor.extraJavaOptions"] = (
+        f"-XX:ParallelGCThreads={{exec_cores}} -XX:ConcGCThreads=2"
+        f" -XX:ActiveProcessorCount={{exec_cores}}")
+else:
+    master = f"local[{{cpus}}]"
+spark = get_spark(app_name="kg-bench", master=master,
+                  shuffle_partitions=parts, extra_conf=conf)
 
 # The measured job READS the corpus from parquet (the north-rule job
 # consumes an Iceberg corpus table — a columnar scan is the real workload
@@ -124,12 +144,13 @@ shutil.rmtree(corpus_dir, ignore_errors=True)
 """
 
 
-def _kg_subprocess(rows: int, cpus: int) -> dict:
+def _kg_subprocess(rows: int, cpus: int, mode: str = "local") -> dict:
     import subprocess
 
     repo = str(Path(__file__).resolve().parent)
     out = subprocess.run(
-        [sys.executable, "-c", _KG_RUNNER.format(repo=repo), str(cpus), str(rows)],
+        [sys.executable, "-c", _KG_RUNNER.format(repo=repo), str(cpus),
+         str(rows), mode],
         capture_output=True,
         text=True,
         check=True,
@@ -197,6 +218,12 @@ def main() -> None:
     triples_sec = kg["sec"]
     timings["kg_triples_synth"] = round(triples_sec, 3)
     bw_gbps = kg.get("bw_gbps")
+    # same job, same total cores, DEPLOYMENT shape: multi-process executors
+    # (local-cluster) instead of one big-thread-count JVM — recorded as a
+    # separate series so the one-JVM number stays round-comparable
+    kg_lc = _kg_subprocess(bench_rows, cpus, mode="lc")
+    # reported as separate fields, NOT added to the suite total, so
+    # headline_suite_sec stays comparable across rounds
 
     total = round(sum(timings.values()), 3)
     print(
@@ -210,7 +237,10 @@ def main() -> None:
                 "corpus_rows": bench_rows,
                 "n_triples": n_triples,
                 "triples_per_sec": round(n_triples / triples_sec, 1),
+                "triples_per_sec_lc": round(
+                    kg_lc["n_triples"] / kg_lc["sec"], 1),
                 "kg_bus_gbps_pre_post": bw_gbps,
+                "kg_lc_bus_gbps_pre_post": kg_lc.get("bw_gbps"),
                 "cpus": cpus,
             }
         )

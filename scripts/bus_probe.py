@@ -102,11 +102,15 @@ def _loadavg() -> float:
 
 
 def _wait_quiet(limit: float = 2.0, max_wait: int = 600) -> float:
+    from hostbw import wait_for_bw  # sibling module
+
     waited = 0
     while _loadavg() > limit and waited < max_wait:
         time.sleep(30)
         waited += 30
-    return _loadavg()
+    # CPU-quiet is not enough: co-tenant memory pressure is invisible to
+    # loadavg — require a measured-quiet bus too (scripts/hostbw.py)
+    return wait_for_bw(max_wait_s=max(60, max_wait - waited))
 
 
 def _quota_opts(cpus: int) -> str:

@@ -6,8 +6,13 @@ traffic slows ours (per-access latency rises while our threads stay 100%
 timed large memcpy can, directly. Measured on 2026-08-17 (1-min loadavg
 0.38 throughout): single-threaded 128 MB numpy copy rates over 60 s were
 cleanly bimodal — 0.09-0.5 GB/s for ~half the samples (external pressure)
-vs 4.5-5.8 GB/s for the rest (quiet). A 3.0 GB/s threshold separates the
-modes with an order of magnitude of margin on each side.
+vs 4.5-5.8 GB/s for the rest (quiet). Later the same night a THIRD state
+appeared: hours of steady 2.4-2.9 GB/s (moderate co-tenant pressure) with
+0.1-0.5 dips. The default threshold (2.0 GB/s) therefore rejects the
+catastrophic mode — the one that corrupts measurements 2-10× — without
+deadlocking the gate during sustained moderate pressure; the recorded
+pre/post rates distinguish a 2.5-state run from a 5.5-state run after the
+fact.
 
 Used by bench.py (north-metric gate) and scripts/scaling_bench.py (per-leg
 gate): wait until the copy rate says the bus is actually quiet, and record
@@ -53,7 +58,7 @@ def copy_gbps(samples: int = 3, pause_s: float = 0.2) -> float:
     return rates[len(rates) // 2]
 
 
-def wait_for_bw(min_gbps: float = 3.0, max_wait_s: int = 600,
+def wait_for_bw(min_gbps: float = 2.0, max_wait_s: int = 600,
                 settle_s: float = 5.0) -> float:
     """Bounded wait for a quiet-bus window: require TWO probe medians
     `settle_s` apart above the threshold (the pressure flips on second

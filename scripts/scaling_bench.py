@@ -40,6 +40,16 @@ hand-curated aggregate of repeated runs (co-tenant bandwidth contention
 makes single runs unreliable — see BENCH.md's contention analysis).
 
 Usage: python scripts/scaling_bench.py [rows] [N N4] [--job kg|dedup]
+                                       [--mode local|local-cluster]
+
+``--mode local-cluster`` (round 2) is the executor-shaped measurement: the
+`local-cluster[N,C,M]` master spawns one REAL worker JVM per executor
+(separate heap/GC per process, shuffles crossing process boundaries), with
+each executor JVM given container-quota-sized GC/JIT threads. Levels are
+then EXECUTOR counts (default pair 1 → 4 executors × 8 cores). This avoids
+the single-JVM thread-scaling wall (GC/safepoint work growing with thread
+count — BENCH.md contention probe) that makes local[8]→local[32]
+understate true executor scaling.
 """
 
 from __future__ import annotations
@@ -99,10 +109,28 @@ sys.path.insert(0, {repo!r})
 from extract_address_ner_spark.session import get_spark
 from scripts.hostbw import copy_gbps, wait_for_bw
 
-cpus = int(sys.argv[1])
+level = int(sys.argv[1])   # local mode: threads; local-cluster: executors
+mode = {mode!r}
 conf = {{"spark.ui.showConsoleProgress": "false"}}
 conf.update({job_conf!r})
-spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
+if mode == "local-cluster":
+    # REAL multi-process executors (Spark's local-cluster master spawns one
+    # worker JVM per executor): level = executor count, {lc_cores} cores +
+    # {lc_mem} MB each. Each executor JVM gets container-quota-sized GC/JIT
+    # threads — what a cgroup-aware YARN/K8s launch provides automatically;
+    # bare co-running JVMs otherwise size ParallelGCThreads to all 32
+    # hardware cores and thrash each other during overlapping GCs
+    # (measured 6.6x — see BENCH.md contention probe).
+    master = f"local-cluster[{{level}},{lc_cores},{lc_mem}]"
+    conf["spark.executor.memory"] = "{lc_exec_mem}"
+    conf["spark.executor.extraJavaOptions"] = (
+        "-XX:ParallelGCThreads={lc_cores} -XX:ConcGCThreads=2"
+        " -XX:ActiveProcessorCount={lc_cores}")
+    cpus = level * {lc_cores}  # own busy-core cap for ext-load accounting
+else:
+    master = f"local[{{level}}]"
+    cpus = level
+spark = get_spark(app_name=f"scaling-{{level}}", master=master,
                   shuffle_partitions={parts}, extra_conf=conf)
 corpus = spark.read.parquet({corpus!r})
 
@@ -201,8 +229,13 @@ def prep(template: str, rows: int, corpus_dir: str) -> None:
     assert "PREP_OK" in out.stdout
 
 
+LC_CORES = 8        # cores per executor in local-cluster mode
+LC_MEM_MB = 16384   # worker JVM memory per executor (MB)
+LC_EXEC_MEM = "14g"  # spark.executor.memory within that worker
+
+
 def run(cpus: int, job_body: str, thru_rows: bool, corpus_dir: str,
-        job_conf: dict) -> dict:
+        job_conf: dict, mode: str = "local") -> dict:
     # The sandbox host is shared: external load inflates wall time unevenly
     # across parallelism levels and corrupts the ratio. Gate each level on a
     # quiet window (bounded wait), then RETRY the level if the best trial
@@ -219,6 +252,8 @@ def run(cpus: int, job_body: str, thru_rows: bool, corpus_dir: str,
             [sys.executable, "-c",
              RUNNER.format(repo=str(REPO), parts=PARTS, corpus=corpus_dir,
                            job_body=job_body, job_conf=job_conf,
+                           mode=mode, lc_cores=LC_CORES, lc_mem=LC_MEM_MB,
+                           lc_exec_mem=LC_EXEC_MEM,
                            thru_rows="True" if thru_rows else "False"),
              str(cpus)],
             capture_output=True, text=True, check=True,
@@ -242,28 +277,45 @@ def main() -> None:
         i = argv.index("--job")
         job = argv[i + 1]
         del argv[i:i + 2]
+    mode = "local"
+    if "--mode" in argv:
+        i = argv.index("--mode")
+        mode = argv[i + 1]
+        del argv[i:i + 2]
     prep_t, job_body, thru_rows, unit, default_rows, report, job_conf = JOBS[job]
     rows = int(argv[0]) if argv else default_rows
-    pairs = [(2, 8), (8, 32)]
+    # local mode: thread counts; local-cluster mode: executor counts
+    # (LC_CORES cores each) — 1 vs 4 REAL executor JVMs is the
+    # executor-shaped N→4N pair
+    pairs = [(1, 4)] if mode == "local-cluster" else [(2, 8), (8, 32)]
     if len(argv) > 2:
         pairs = [(int(argv[1]), int(argv[2]))]
+    if mode == "local-cluster":
+        report = report.replace(".md", "_lc.md")
     corpus_dir = f"/tmp/scaling_corpus_{job}_parquet"
     prep(prep_t, rows, corpus_dir)
     results = {}
     done: dict[int, dict] = {}
     for n, n4 in pairs:
-        rn = done.get(n) or run(n, job_body, thru_rows, corpus_dir, job_conf)
+        rn = done.get(n) or run(n, job_body, thru_rows, corpus_dir,
+                                job_conf, mode)
         done[n] = rn
-        r4 = done.get(n4) or run(n4, job_body, thru_rows, corpus_dir, job_conf)
+        r4 = done.get(n4) or run(n4, job_body, thru_rows, corpus_dir,
+                                 job_conf, mode)
         done[n4] = r4
         ratio = r4["units_per_sec"] / rn["units_per_sec"]
         results[(n, n4)] = (rn, r4, ratio, ratio / 4)
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
     rows_md = []
     for (n, n4), (rn, r4, ratio, eff) in results.items():
+        if mode == "local-cluster":
+            lbl_n = f"{n} executor × {LC_CORES} cores"
+            lbl_4n = f"{n4} executors × {LC_CORES} cores"
+        else:
+            lbl_n, lbl_4n = f"local[{n}]", f"local[{n4}]"
         rows_md.append(
-            f"| local[{n}] (N) | {rn['sec']} | {rn['units_per_sec']:,} "
-            f"| local[{n4}] (4N) | {r4['sec']} | {r4['units_per_sec']:,} "
+            f"| {lbl_n} (N) | {rn['sec']} | {rn['units_per_sec']:,} "
+            f"| {lbl_4n} (4N) | {r4['sec']} | {r4['units_per_sec']:,} "
             f"| {ratio:.2f}× | **{eff:.2f}** "
             f"| {rn['ext_during']:.1f}/{r4['ext_during']:.1f} "
             f"| {min(rn['bw_pre'], rn['bw_post']):.1f}/"
@@ -280,9 +332,16 @@ def main() -> None:
                   f"candidate join → Jaccard-verify candidates → count "
                   f"near-dup pairs = {any_r['n_out']:,}"),
     }[job]
-    md = f"""# BENCH — scaling run ({job} job)
+    proxy_desc = (
+        "REAL multi-process Spark executors — the `local-cluster[N,"
+        f"{LC_CORES},{LC_MEM_MB}]` master spawns one quota-sized worker JVM "
+        "per executor (GC/JIT threads and heap sized to its core quota, as "
+        "a cgroup-aware YARN/K8s launch does), shuffles cross process "
+        "boundaries" if mode == "local-cluster"
+        else "sandbox proxy: local[N] → local[4N] threads, one JVM")
+    md = f"""# BENCH — scaling run ({job} job, {mode} mode)
 
-## Scaling evidence: N → 4N executors (sandbox proxy: local[N] → local[4N])
+## Scaling evidence: N → 4N executors ({proxy_desc})
 
 Same job ({job_desc}), same input files, SAME fixed partitioning (64 input
 + 64 shuffle partitions at every level — only the parallelism varies),
@@ -298,7 +357,7 @@ immediately before and after the best trial (scripts/hostbw.py — co-tenant
 memory pressure is invisible to CPU counters; quiet ≥ 3.0, contended mode
 measures 0.1-0.5): every trial additionally WAITS for a measured-quiet bus
 before starting. Generated by
-`python scripts/scaling_bench.py {rows} --job {job}` at {stamp}.
+`python scripts/scaling_bench.py {rows} --job {job} --mode {mode}` at {stamp}.
 
 | N | wall s | {unit} | 4N | wall s | {unit} | speed-up | efficiency | ext load N/4N | bus GB/s N/4N |
 |---|---|---|---|---|---|---|---|---|---|
@@ -326,6 +385,7 @@ what THIS run measured): see the latest BENCH_r*.json (driver-recorded,
     (REPO / report).write_text(md)
     print(json.dumps({
         "job": job,
+        "mode": mode,
         **{f"{n}->{n4}": {"n_sec": rn["sec"], "n4_sec": r4["sec"],
                           "speedup": round(ratio, 3),
                           "efficiency": round(eff, 3)}
