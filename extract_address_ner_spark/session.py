@@ -7,6 +7,17 @@ Scale notes (designed for 1000-executor / 100 TB, tested on local[32]):
   mapInPandas — never row-at-a-time Python.
 - shuffle.partitions is a *default*; heavy stages size their own
   repartition explicitly from input stats.
+- Executor sizing: prefer MANY QUOTA-SIZED 4-8-core executor JVMs over one
+  big-thread-count JVM, even on a single machine. Thread scaling inside
+  one JVM stalls above ~16 threads on GC/safepoint work growing with
+  thread count (measured: 4×8-core local-cluster executors ran the full
+  KG job 27% faster than local[32] on the same cores, and 2×local[16]
+  JVMs delivered 1.72× one local[32] — BENCH.md "contention probe"). On
+  YARN/K8s the cgroup-aware JVM sizes GC/JIT threads to its quota
+  automatically; for bare multi-JVM layouts set
+  -XX:ParallelGCThreads=<cores> -XX:ActiveProcessorCount=<cores> per
+  executor or co-running JVMs thrash during overlapping GCs (measured
+  6.6× collapse without it).
 """
 
 from __future__ import annotations
