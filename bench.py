@@ -220,8 +220,13 @@ def main() -> None:
     bw_gbps = kg.get("bw_gbps")
     # same job, same total cores, DEPLOYMENT shape: multi-process executors
     # (local-cluster) instead of one big-thread-count JVM — recorded as a
-    # separate series so the one-JVM number stays round-comparable
-    kg_lc = _kg_subprocess(bench_rows, cpus, mode="lc")
+    # separate series so the one-JVM number stays round-comparable.
+    # Best-effort: local-cluster spawns worker JVMs, which is environment-
+    # sensitive — a failure here must not take down the whole bench report.
+    try:
+        kg_lc = _kg_subprocess(bench_rows, cpus, mode="lc")
+    except Exception:
+        kg_lc = None
     # reported as separate fields, NOT added to the suite total, so
     # headline_suite_sec stays comparable across rounds
 
@@ -238,9 +243,10 @@ def main() -> None:
                 "n_triples": n_triples,
                 "triples_per_sec": round(n_triples / triples_sec, 1),
                 "triples_per_sec_lc": round(
-                    kg_lc["n_triples"] / kg_lc["sec"], 1),
+                    kg_lc["n_triples"] / kg_lc["sec"], 1) if kg_lc else None,
                 "kg_bus_gbps_pre_post": bw_gbps,
-                "kg_lc_bus_gbps_pre_post": kg_lc.get("bw_gbps"),
+                "kg_lc_bus_gbps_pre_post": kg_lc.get("bw_gbps")
+                if kg_lc else None,
                 "cpus": cpus,
             }
         )
