@@ -26,6 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from extract_address_ner_spark import entry_queries as EQ  # noqa: E402
 from extract_address_ner_spark import entry_queries_data  # noqa: E402,F401  (registers data-pipeline queries)
+from extract_address_ner_spark import entry_queries_streaming  # noqa: E402,F401  (registers streaming queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -25,6 +25,18 @@ Timing action is a noop-format write (forces full materialization of every
 column, no sink IO). Methodology: per-query warm-up run (codegen/JIT, a
 one-off per-plan cost that amortizes to zero at 100 TB) then best-of-2, with
 the cache cleared between runs so persist()-sharing operators do real work.
+
+Contention robustness (round 3): every timed trial is bracketed by memcpy
+bus probes (scripts/hostbw.py — co-tenant memory-bandwidth pressure is
+invisible to loadavg and /proc/stat but slows Spark 2-10x). A trial is
+CLEAN iff both pre and post rates are >= 3.0 GB/s (the host's quiet state
+reads 4.5-5.8; the catastrophic co-tenant state reads 0.1-0.5). Queries
+with no clean trial after the first pass are re-queued for up to two
+bounded retry passes later in the run (pressure arrives in storms — later
+is usually quieter); if still no clean trial, the best contaminated time is
+reported WITH a per-query entry in "contended_queries" so a contaminated
+number is never silently the headline. Per-query pre/post rates at the
+reported trial are emitted in "query_bus_gbps".
 The triples/sec figure runs the full KG path (synthesize → extract → gate →
 canonicalize → edges) on a synthetic corpus with mega-repo skew in a FRESH
 subprocess JVM (spark-submit-faithful; avoids cross-plan JIT profile
@@ -45,7 +57,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from extract_address_ner_spark import entry_queries as EQ  # noqa: E402
 from extract_address_ner_spark import entry_queries_data  # noqa: E402,F401
 from extract_address_ner_spark.session import get_spark  # noqa: E402
-from scripts.hostbw import wait_for_bw  # noqa: E402
+from scripts.hostbw import copy_gbps, wait_for_bw  # noqa: E402
+
+# A trial is clean iff pre AND post bus rates are >= this (GB/s). The host's
+# bimodal states: 4.5-5.8 quiet, 2.4-2.9 sustained-moderate, 0.1-0.5
+# catastrophic. 3.0 accepts only the quiet state for the round-of-record
+# numbers; sustained-moderate runs get flagged rather than silently recorded.
+BW_CLEAN_GBPS = 3.0
 
 HEADLINE = [
     "extract_mentions",
@@ -96,10 +114,16 @@ conf = {{"spark.ui.showConsoleProgress": "false"}}
 if mode == "lc":
     # deployment shape: REAL multi-process executors (local-cluster master,
     # one quota-sized worker JVM per executor) on the SAME total cores —
-    # avoids the single-JVM thread-scaling wall (BENCH.md contention probe)
-    n_exec, exec_cores = max(1, cpus // 8), 8
+    # avoids the single-JVM thread-scaling wall (BENCH.md contention probe).
+    # exec_cores = largest divisor of cpus that is <= 8, so n_exec *
+    # exec_cores == cpus exactly for ANY cpu count (the lc series stays
+    # same-total-cores comparable with the local[cpus] series).
+    exec_cores = max(d for d in range(1, min(cpus, 8) + 1) if cpus % d == 0)
+    n_exec = cpus // exec_cores
     master = f"local-cluster[{{n_exec}},{{exec_cores}},16384]"
-    conf["spark.executor.memory"] = "14g"
+    # heap ∝ cores (what a cgroup-aware container JVM gets): 14g per
+    # 8-core executor, scaled down for narrower executors
+    conf["spark.executor.memory"] = f"{{max(2, 14 * exec_cores // 8)}}g"
     conf["spark.executor.extraJavaOptions"] = (
         f"-XX:ParallelGCThreads={{exec_cores}} -XX:ConcGCThreads=2"
         f" -XX:ActiveProcessorCount={{exec_cores}}")
@@ -121,23 +145,37 @@ def kg(c):
         canonicalize_mentions(road_address_gate(extract_mentions(c))))
 
 kg(corpus.limit(20000)).count()  # warm-up (codegen/JIT), not timed
-# best-of-3: the sandbox host is shared — min over trials is the
-# least-contended estimate. Each trial additionally waits for a
-# measured-quiet memory bus (co-tenant bandwidth pressure is invisible to
-# loadavg//proc/stat — scripts/hostbw.py) and records the pre/post rates.
+# Contention-robust trials: a trial is CLEAN iff pre AND post memcpy bus
+# rates are >= 3.0 GB/s (co-tenant bandwidth pressure is invisible to
+# loadavg//proc/stat — scripts/hostbw.py). Base 3 trials; keep retrying
+# (bounded at 6) until at least one clean trial exists, so a storm that
+# catches the first trials doesn't become the round-of-record number. If no
+# trial is ever clean, report the best contaminated time WITH
+# contended=true so the caller can flag it instead of headlining it.
 from scripts.hostbw import copy_gbps, wait_for_bw
-best, n, bw_at_best = None, 0, (0.0, 0.0)
-for _ in range(3):
-    bw_pre = wait_for_bw(max_wait_s=120)
+CLEAN = 3.0
+best, best_clean, n = None, None, 0
+bw_at_best, bw_at_clean = (0.0, 0.0), (0.0, 0.0)
+for trial in range(6):
+    if trial >= 3 and best_clean is not None:
+        break
+    bw_pre = wait_for_bw(min_gbps=CLEAN, max_wait_s=120)
     t0 = time.monotonic()
     n = kg(corpus).count()
     dt = time.monotonic() - t0
+    time.sleep(1.0)  # let our own JVM's post-stage GC churn settle so the
+    # post probe reads HOST pressure, not our wind-down
     bw_post = copy_gbps()
     if best is None or dt < best:
         best, bw_at_best = dt, (bw_pre, bw_post)
-print(json.dumps({{"n_triples": n, "sec": round(best, 3),
-                   "bw_gbps": [round(bw_at_best[0], 1),
-                               round(bw_at_best[1], 1)]}}))
+    if bw_pre >= CLEAN and bw_post >= CLEAN and (
+            best_clean is None or dt < best_clean):
+        best_clean, bw_at_clean = dt, (bw_pre, bw_post)
+sec, bw = (best_clean, bw_at_clean) if best_clean is not None \
+    else (best, bw_at_best)
+print(json.dumps({{"n_triples": n, "sec": round(sec, 3),
+                   "contended": best_clean is None,
+                   "bw_gbps": [round(bw[0], 1), round(bw[1], 1)]}}))
 spark.stop()
 import shutil
 shutil.rmtree(corpus_dir, ignore_errors=True)
@@ -183,23 +221,61 @@ def main() -> None:
     # local-mode JVM vary 5-10x with code-cache/JIT state and measure the
     # compiler, not the operator.
     _wait_quiet()
-    wait_for_bw(max_wait_s=120)  # bus-quiet too — loadavg can't see
-                                 # co-tenant memory pressure (hostbw.py)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        _materialize(qmap[name](spark, sf_dir))  # warm-up, not timed
-        best = None
-        for _ in range(2):
+    wait_for_bw(min_gbps=BW_CLEAN_GBPS, max_wait_s=120)  # bus-quiet too —
+    # loadavg can't see co-tenant memory pressure (hostbw.py)
+
+    def _run_trials(name: str, n_trials: int, rec: dict) -> None:
+        """Run n_trials timed trials of query `name`, updating rec's
+        best / best_clean (+ the bus rates at each). A trial is clean iff
+        both bracketing single-sample probes read >= BW_CLEAN_GBPS."""
+        for _ in range(n_trials):
             # operators persist() shared subplans (e.g. LSH bands for the
             # self-join); CacheManager would hand the NEXT run those blocks
             # by plan identity, so the timed run would skip the real work
             spark.catalog.clearCache()
             df = qmap[name](spark, sf_dir)
+            bw_pre = copy_gbps(samples=1)
             t0 = time.monotonic()
             _materialize(df)
             dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            time.sleep(0.5)  # let our own JVM's post-stage GC churn settle
+            # so the post probe reads HOST pressure, not our wind-down
+            bw_post = copy_gbps(samples=1)
+            if rec["best"] is None or dt < rec["best"]:
+                rec["best"], rec["bw"] = dt, (bw_pre, bw_post)
+            if bw_pre >= BW_CLEAN_GBPS and bw_post >= BW_CLEAN_GBPS and (
+                    rec["best_clean"] is None or dt < rec["best_clean"]):
+                rec["best_clean"], rec["bw_clean"] = dt, (bw_pre, bw_post)
+
+    recs: dict[str, dict] = {}
+    for name in HEADLINE:
+        _materialize(qmap[name](spark, sf_dir))  # warm-up, not timed
+        recs[name] = {"best": None, "best_clean": None,
+                      "bw": (0.0, 0.0), "bw_clean": (0.0, 0.0)}
+        _run_trials(name, 2, recs[name])
+    # Bounded retry passes: re-queue queries whose trials all ran on a
+    # contended bus — storms pass, so a later window is usually clean. Each
+    # pass waits (bounded) for a quiet bus before re-running.
+    for _retry in range(2):
+        dirty = [n for n in HEADLINE if recs[n]["best_clean"] is None]
+        if not dirty:
+            break
+        wait_for_bw(min_gbps=BW_CLEAN_GBPS, max_wait_s=180)
+        for name in dirty:
+            _run_trials(name, 2, recs[name])
+
+    timings: dict[str, float] = {}
+    contended: list[str] = []
+    query_bw: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        r = recs[name]
+        if r["best_clean"] is not None:
+            timings[name] = round(r["best_clean"], 3)
+            query_bw[name] = [round(x, 1) for x in r["bw_clean"]]
+        else:
+            timings[name] = round(r["best"], 3)
+            query_bw[name] = [round(x, 1) for x in r["bw"]]
+            contended.append(name)
 
     # north-metric throughput: full KG path on skewed synthetic corpus,
     # measured in a FRESH subprocess JVM (exactly how the job ships:
@@ -214,19 +290,45 @@ def main() -> None:
     # contended vs quiet)
     _wait_quiet(threshold=2.0, max_wait_s=300)
     kg = _kg_subprocess(bench_rows, cpus)
+    if kg.get("contended"):
+        # the subprocess never saw a clean bus in its 6-trial budget — give
+        # the north metric ONE more full attempt after a longer quiet wait
+        # (the storm that ate the first run has usually passed by now)
+        _wait_quiet(threshold=2.0, max_wait_s=300)
+        wait_for_bw(min_gbps=BW_CLEAN_GBPS, max_wait_s=300)
+        kg2 = _kg_subprocess(bench_rows, cpus)
+        if not kg2.get("contended") or kg2["sec"] < kg["sec"]:
+            kg = kg2
     n_triples = kg["n_triples"]
     triples_sec = kg["sec"]
     timings["kg_triples_synth"] = round(triples_sec, 3)
+    query_bw["kg_triples_synth"] = kg.get("bw_gbps")
+    if kg.get("contended"):
+        contended.append("kg_triples_synth")
     bw_gbps = kg.get("bw_gbps")
     # same job, same total cores, DEPLOYMENT shape: multi-process executors
     # (local-cluster) instead of one big-thread-count JVM — recorded as a
     # separate series so the one-JVM number stays round-comparable.
     # Best-effort: local-cluster spawns worker JVMs, which is environment-
-    # sensitive — a failure here must not take down the whole bench report.
+    # sensitive — a failure here must not take down the whole bench report,
+    # but it must also not be SILENT (a persistent worker-spawn regression
+    # would otherwise look like a one-off hiccup): log the cause to stderr
+    # and carry a short reason in the report.
+    kg_lc_error = None
     try:
         kg_lc = _kg_subprocess(bench_rows, cpus, mode="lc")
-    except Exception:
+    except Exception as e:
         kg_lc = None
+        import subprocess as _sp
+        import traceback
+        detail = e.stderr[-2000:] if isinstance(
+            e, _sp.CalledProcessError) and e.stderr else ""
+        kg_lc_error = f"{type(e).__name__}: {e}"
+        print(f"local-cluster leg failed: {kg_lc_error}\n{detail}",
+              file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+    if kg_lc and kg_lc.get("contended"):
+        contended.append("kg_triples_synth_lc")
     # reported as separate fields, NOT added to the suite total, so
     # headline_suite_sec stays comparable across rounds
 
@@ -247,6 +349,9 @@ def main() -> None:
                 "kg_bus_gbps_pre_post": bw_gbps,
                 "kg_lc_bus_gbps_pre_post": kg_lc.get("bw_gbps")
                 if kg_lc else None,
+                "kg_lc_error": kg_lc_error,
+                "contended_queries": contended,
+                "query_bus_gbps": query_bw,
                 "cpus": cpus,
             }
         )

@@ -434,6 +434,85 @@ def q_repo_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# graph-consumption queries over the materialized KG (round 3)
+# --------------------------------------------------------------------------
+
+def _built_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = extract_mentions(C.corpus_from_documents(spark, sf_dir))
+    return build_edges(canonicalize_mentions(road_address_gate(m)))
+
+
+def gold_degree_sql() -> str:
+    return f"""
+WITH _edges AS ({gold_edges_sql()}),
+outd AS (SELECT pred, subj AS node, CAST(count(*) AS BIGINT) AS degree
+         FROM _edges GROUP BY 1, 2),
+ind AS (SELECT pred, obj AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM _edges GROUP BY 1, 2)
+SELECT pred, 'out' AS direction, degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM outd GROUP BY 1, 2, 3
+UNION ALL
+SELECT pred, 'in' AS direction, degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM ind GROUP BY 1, 2, 3"""
+
+
+@register("graph_query_degrees", gold_degree_sql())
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution over the built KG (salted per-node counts)."""
+    from .operators.graph_query import degree_distribution
+
+    return degree_distribution(_built_edges(spark, sf_dir))
+
+
+def gold_top_addresses_sql(k: int = 3) -> str:
+    return f"""
+WITH _edges AS ({gold_edges_sql()}),
+m AS (SELECT split_part(subj, ':', 1) AS repo, obj AS address_id
+      FROM _edges WHERE pred = 'mentions_address'),
+c AS (SELECT repo, address_id, CAST(count(*) AS BIGINT) AS n_files
+      FROM m GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY repo ORDER BY n_files DESC, address_id) AS rank FROM c)
+SELECT repo, address_id, n_files, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}"""
+
+
+@register("graph_query_top_addresses", gold_top_addresses_sql())
+def q_graph_top_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-mentioned addresses per repo (salted counts + bounded
+    rank window)."""
+    from .operators.graph_query import top_addresses_per_repo
+
+    return top_addresses_per_repo(_built_edges(spark, sf_dir), k=3)
+
+
+def gold_region_rollup_sql() -> str:
+    return f"""
+WITH _edges AS ({gold_edges_sql()}),
+ma AS (SELECT subj AS file_id, obj AS address_id FROM _edges
+       WHERE pred = 'mentions_address'),
+li AS (SELECT subj AS address_id, obj AS region_id FROM _edges
+       WHERE pred = 'located_in' AND subj LIKE 'kaddr:%'),
+bb AS (SELECT subj AS region_id, obj AS parent_region_id FROM _edges
+       WHERE pred = 'located_in' AND subj NOT LIKE 'kaddr:%'),
+h AS (SELECT region_id,
+        CAST(count(DISTINCT file_id) AS BIGINT) AS n_files,
+        CAST(count(DISTINCT ma.address_id) AS BIGINT) AS n_addresses
+      FROM ma JOIN li ON ma.address_id = li.address_id GROUP BY 1)
+SELECT h.region_id, bb.parent_region_id, n_files, n_addresses
+FROM h LEFT JOIN bb USING (region_id)"""
+
+
+@register("graph_query_region_rollup", gold_region_rollup_sql())
+def q_graph_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop file→address→region rollup with a broadcast dimension side
+    plus the backbone parent hop."""
+    from .operators.graph_query import region_rollup
+
+    return region_rollup(_built_edges(spark, sf_dir))
+
+
 # cross-engine edge checksum term: md5-bridge of 'subj|pred|obj', reduced
 # mod M31 so the sum over all edges stays in BIGINT range under ANSI mode
 _EDGE_CK_SPARK = (

@@ -449,11 +449,29 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_bucket_topk(emb, queries, k=10, dim=64)
 
 
+# One deterministic k-means refinement round (mirrors ann.refine_centroids):
+# assign to the hash-sampled seed centroids, element-wise mean per cluster
+# rounded to 6dp (cross-engine FP stability), empty clusters drop out.
+_D_REFINE = """sc0 AS (SELECT e.vec_id, centroid_id,
+  CAST(round(list_cosine_similarity(cv, v), 4) AS DOUBLE) AS s
+  FROM e CROSS JOIN cents0),
+assign0 AS (SELECT vec_id, centroid_id AS cluster_id FROM
+  (SELECT *, row_number() OVER
+     (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS r FROM sc0)
+  WHERE r = 1),
+comp AS (SELECT a.cluster_id, generate_subscripts(e.v, 1) AS i,
+  unnest(e.v) AS val FROM e JOIN assign0 a USING (vec_id)),
+cm AS (SELECT cluster_id, i, round(avg(val), 6) AS m FROM comp GROUP BY 1, 2),
+cents AS (SELECT cluster_id AS centroid_id, list(m ORDER BY i) AS cv
+  FROM cm GROUP BY 1)"""
+
+
 @register(
     "ann_ivf_topk",
     f"""
 WITH e AS (SELECT vec_id, {_D_EMB_D} AS v FROM embeddings),
-{_D_CENTS},
+{_D_CENTS.replace("cents AS", "cents0 AS", 1)},
+{_D_REFINE},
 sc AS (SELECT e.vec_id, centroid_id,
   CAST(round(list_cosine_similarity(cv, v), 4) AS DOUBLE) AS s
   FROM e CROSS JOIN cents),
@@ -482,7 +500,8 @@ FROM ranked WHERE rank <= 10""",
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter("vec_id < 5")
-    return ann.ivf_topk(emb, queries, k=10, n_centroids=32, nprobe=3)
+    return ann.ivf_topk(emb, queries, k=10, n_centroids=32, nprobe=3,
+                        refine=1)
 
 
 # --------------------------------------------------------------------------
@@ -610,21 +629,18 @@ def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_features",
     """
-WITH chars AS (
-  SELECT doc_id, unicode(c) AS cp
-  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)),
+WITH hx AS (
+  SELECT doc_id, string_split(hex(encode(text)), '') AS cs FROM documents),
+hc AS (SELECT doc_id, generate_subscripts(cs, 1) AS pos, unnest(cs) AS c
+       FROM hx),
 bts AS (
-  SELECT doc_id, unnest(
-    CASE WHEN cp < 128 THEN [cp]
-         WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
-         WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64,
-                               128 + cp % 64]
-         ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
-               128 + (cp // 64) % 64, 128 + cp % 64]
-    END) AS b
-  FROM chars),
-counts AS (SELECT doc_id, b // 16 AS bin_idx, count(*) AS c FROM bts
-           GROUP BY 1, 2),
+  -- high nibble of utf-8 byte i == hex digit at odd position 2i-1; the
+  -- byte stream comes straight from encode() so multi-codepoint grapheme
+  -- clusters (combining jamo, emoji ZWJ) are handled exactly (ADVICE r02:
+  -- the old per-character unicode() derivation dropped code points there)
+  SELECT doc_id, strpos('0123456789ABCDEF', c) - 1 AS bin_idx
+  FROM hc WHERE pos % 2 = 1),
+counts AS (SELECT doc_id, bin_idx, count(*) AS c FROM bts GROUP BY 1, 2),
 totals AS (SELECT doc_id, count(*) AS n FROM bts GROUP BY 1)
 SELECT t.doc_id AS doc_id,
   CASE CAST(t.doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -1,0 +1,155 @@
+"""Driver-checkable STREAMING queries (round 3, VERDICT r02 #6).
+
+The streaming operators (extract_address_ner_spark.streaming) were
+pytest-only in round 2; these queries drive them through the round driver's
+CORRECTNESS harness the same way ``pipeline_resume_equivalence`` drives the
+checkpoint-resume path: each query runs a real Structured Streaming job
+(file source → transform → availableNow drain → parquet sink, exactly-once
+checkpointed) inside a temp dir, reads the sink back as a batch DataFrame,
+and returns rows an ANSI-SQL oracle pins exactly.
+
+- ``streaming_extract_mentions``: the stream≡batch equivalence — the
+  stateless extraction plan over a 3-drop incremental ingest must emit
+  EXACTLY the batch gold mention rows (same oracle as ``extract_mentions``).
+- ``streaming_dedup_exact``: dedup-on-arrival
+  (dropDuplicatesWithinWatermark) over the planted-duplicate corpus — the
+  emitted hash SET equals DISTINCT sha256(text), independent of which
+  arrival won a group (so the oracle is order-insensitive and exact).
+- ``streaming_windowed_counts``: watermarked 1-hour windows over events in
+  APPEND mode — only windows the final watermark (max ts − 30 min) closed
+  are emitted; the oracle reproduces the cutoff rule in SQL.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .entry_queries import DUCK_SHA, register
+from .entry_queries_data import DUP_DOCS_DUCK, dup_documents
+from .sources import corpus as C
+from .streaming import stream as S
+
+MENTION_COLS = [
+    "repo", "path", "commit", "mention_text", "m_start", "m_end",
+    "confidence", "content_sha256", "doc_id",
+]
+
+
+def _drain(stream_df: DataFrame, out_dir: str, ckpt_dir: str) -> None:
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register("streaming_extract_mentions", C.gold_mentions_sql(sha256_fn=DUCK_SHA))
+def q_streaming_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ≡ batch for the flagship extraction: the corpus lands as three
+    separate parquet drops (simulating incremental ingest); the SAME
+    extract_mentions plan runs on the file-source stream and must produce
+    exactly the batch gold rows — the file source is exactly-once and the
+    operator is stateless, so nothing is duplicated or lost."""
+    work = tempfile.mkdtemp(prefix="stream_mentions_")
+    try:
+        corpus = C.corpus_from_documents(spark, sf_dir)
+        in_dir = f"{work}/ingest"
+        # three incremental drops keyed on doc_id (deterministic split)
+        for part in range(3):
+            corpus.filter(F.col("doc_id") % 3 == part).coalesce(1) \
+                .write.mode("append").parquet(in_dir)
+        stream = S.read_corpus_stream(spark, in_dir, max_files_per_trigger=1)
+        mentions = S.stream_extract_mentions(stream)
+        _drain(mentions, f"{work}/out", f"{work}/ckpt")
+        out = spark.read.parquet(f"{work}/out").select(*MENTION_COLS)
+        # materialize before the temp dir vanishes (driver collects later)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_dedup_exact",
+    f"""
+WITH dup AS ({DUP_DOCS_DUCK})
+SELECT DISTINCT {DUCK_SHA.format('text')} AS content_sha256 FROM dup""",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup on arrival: the planted-duplicate corpus flows through
+    content-hash-keyed dropDuplicatesWithinWatermark; exactly one row per
+    distinct content is emitted. Arrival timestamps are packed inside the
+    watermark horizon so a batch split can never age state out and re-emit
+    a hash — the emitted SET is therefore exactly DISTINCT sha256(text)
+    regardless of which physical row won each group."""
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        docs = dup_documents(spark, sf_dir).withColumn(
+            "ts",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(
+                F.lit(0), F.lit(0), F.lit(0), (F.col("doc_id") % 300)
+            ),
+        )
+        in_dir = f"{work}/ingest"
+        docs.coalesce(1).write.parquet(in_dir)
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp_ntz")
+            .parquet(in_dir)
+        )
+        deduped = S.stream_dedup_exact(stream, ts_col="ts", text_col="text")
+        _drain(deduped, f"{work}/out", f"{work}/ckpt")
+        out = spark.read.parquet(f"{work}/out").select("content_sha256").distinct()
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_STREAM_WIN_ORACLE = """
+WITH ev AS (SELECT * FROM events),
+wm AS (SELECT max(ts) - INTERVAL '30 minutes' AS w FROM ev)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM ev GROUP BY 1, 2, 3
+HAVING win_end <= (SELECT w FROM wm)"""
+
+
+@register("streaming_windowed_counts", _STREAM_WIN_ORACLE)
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation in APPEND mode: the availableNow
+    drain processes all events in one batch (watermark still at epoch → no
+    rows dropped), then the final no-data batch advances the watermark to
+    max(ts) − 30 min and flushes every window it closed. The oracle
+    reproduces exactly that cutoff: windows with win_end <= max(ts) − 30
+    min. Windows still open at the cutoff stay in state and are not
+    emitted — the defining append-mode behavior this query pins."""
+    work = tempfile.mkdtemp(prefix="stream_win_")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        in_dir = f"{work}/ingest"
+        ev.coalesce(1).write.parquet(in_dir)  # one file → one batch
+        stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+        agg = S.windowed_event_counts(
+            stream, window="1 hour", watermark="30 minutes"
+        )
+        _drain(agg, f"{work}/out", f"{work}/ckpt")
+        out = spark.read.parquet(f"{work}/out").select(
+            "win_start", "win_end", "event_type", "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

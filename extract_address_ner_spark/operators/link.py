@@ -35,10 +35,24 @@ def salted_partials(
     """Phase 1 of salted aggregation: aggregate within (keys, salt). Exposed
     so tests can assert the skew bound directly — a hot key's rows land in
     ~n_salts groups of ~|hot|/n_salts rows each, so no single reducer sees
-    the whole key. The salt is a deterministic hash of the full row, not
-    rand() — re-runs are identical (FIXTURES.md: no unseeded randomness)."""
+    the whole key.
+
+    The salt MUST vary within a group: both production call sites
+    (repo_mention_counts feeds only the group key; build_edges' only
+    non-key column is a per-tagger-constant confidence) have every non-key
+    column constant within the hot group, so any salt derived from column
+    VALUES degenerates to one salt per key and phase 1 becomes a plain
+    groupBy — silently, exactly where the salt is supposed to defend. The
+    salt is therefore positional: ``monotonically_increasing_id()`` encodes
+    (partition_id << 33 | row ordinal), so it differs on every row of a hot
+    key regardless of the row's contents, both across partitions and within
+    one; hashing it with the seed spreads groups uniformly over n_salts.
+    The salt is dropped by the phase-2 aggregate, so the final RESULT is
+    deterministic even though row→salt assignment may differ across
+    retries/repartitionings (FIXTURES.md: no unseeded randomness affecting
+    results)."""
     salt = (
-        F.abs(F.hash(*[F.col(k) for k in df.columns]) + F.lit(salt_seed))
+        F.abs(F.hash(F.monotonically_increasing_id() + F.lit(salt_seed)))
         % n_salts
     ).alias("_salt")
     return df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_aggs)

