@@ -65,6 +65,22 @@ from scripts.hostbw import copy_gbps, wait_for_bw  # noqa: E402
 # numbers; sustained-moderate runs get flagged rather than silently recorded.
 BW_CLEAN_GBPS = 3.0
 
+# Global wall-clock budget: the quiet-window waits (initial + retry passes +
+# per-kg-trial) must never compound into an unbounded run — when the host
+# sits in its sustained-moderate state for an hour, EVERY wait runs to its
+# cap. Once the budget is spent, remaining waits shrink to zero and retry
+# passes are skipped; honesty is preserved by the contended flags instead.
+_BENCH_T0 = time.monotonic()
+BENCH_BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+
+
+def _remaining_s() -> float:
+    return max(0.0, BENCH_BUDGET_S - (time.monotonic() - _BENCH_T0))
+
+
+def _wait_budget(spec_s: int) -> int:
+    return int(min(spec_s, _remaining_s()))
+
 HEADLINE = [
     "extract_mentions",
     "extract_mentions_from_code",
@@ -109,6 +125,7 @@ from extract_address_ner_spark.sources.corpus import synthesize_corpus
 
 cpus, rows = int(sys.argv[1]), int(sys.argv[2])
 mode = sys.argv[3] if len(sys.argv) > 3 else "local"
+trial_wait_s = int(sys.argv[4]) if len(sys.argv) > 4 else 120
 parts = cpus * 8
 conf = {{"spark.ui.showConsoleProgress": "false"}}
 if mode == "lc":
@@ -159,7 +176,7 @@ bw_at_best, bw_at_clean = (0.0, 0.0), (0.0, 0.0)
 for trial in range(6):
     if trial >= 3 and best_clean is not None:
         break
-    bw_pre = wait_for_bw(min_gbps=CLEAN, max_wait_s=120)
+    bw_pre = wait_for_bw(min_gbps=CLEAN, max_wait_s=trial_wait_s)
     t0 = time.monotonic()
     n = kg(corpus).count()
     dt = time.monotonic() - t0
@@ -182,13 +199,14 @@ shutil.rmtree(corpus_dir, ignore_errors=True)
 """
 
 
-def _kg_subprocess(rows: int, cpus: int, mode: str = "local") -> dict:
+def _kg_subprocess(rows: int, cpus: int, mode: str = "local",
+                   trial_wait_s: int = 120) -> dict:
     import subprocess
 
     repo = str(Path(__file__).resolve().parent)
     out = subprocess.run(
         [sys.executable, "-c", _KG_RUNNER.format(repo=repo), str(cpus),
-         str(rows), mode],
+         str(rows), mode, str(trial_wait_s)],
         capture_output=True,
         text=True,
         check=True,
@@ -220,9 +238,9 @@ def main() -> None:
     # then best-of-2 timed runs. Single-shot cold timings on a shared
     # local-mode JVM vary 5-10x with code-cache/JIT state and measure the
     # compiler, not the operator.
-    _wait_quiet()
-    wait_for_bw(min_gbps=BW_CLEAN_GBPS, max_wait_s=120)  # bus-quiet too —
-    # loadavg can't see co-tenant memory pressure (hostbw.py)
+    _wait_quiet(max_wait_s=_wait_budget(120))
+    wait_for_bw(min_gbps=BW_CLEAN_GBPS, max_wait_s=_wait_budget(120))
+    # bus-quiet too — loadavg can't see co-tenant memory pressure (hostbw.py)
 
     def _run_trials(name: str, n_trials: int, rec: dict) -> None:
         """Run n_trials timed trials of query `name`, updating rec's
@@ -258,9 +276,9 @@ def main() -> None:
     # pass waits (bounded) for a quiet bus before re-running.
     for _retry in range(2):
         dirty = [n for n in HEADLINE if recs[n]["best_clean"] is None]
-        if not dirty:
+        if not dirty or _remaining_s() < 240:
             break
-        wait_for_bw(min_gbps=BW_CLEAN_GBPS, max_wait_s=180)
+        wait_for_bw(min_gbps=BW_CLEAN_GBPS, max_wait_s=_wait_budget(180))
         for name in dirty:
             _run_trials(name, 2, recs[name])
 
@@ -288,15 +306,17 @@ def main() -> None:
     # most contended moment of the run — give the north-metric measurement
     # a longer quiet-window budget (measured 18.7s vs 3.3s for the same job
     # contended vs quiet)
-    _wait_quiet(threshold=2.0, max_wait_s=300)
-    kg = _kg_subprocess(bench_rows, cpus)
-    if kg.get("contended"):
+    _wait_quiet(threshold=2.0, max_wait_s=_wait_budget(300))
+    kg = _kg_subprocess(bench_rows, cpus,
+                        trial_wait_s=_wait_budget(120))
+    if kg.get("contended") and _remaining_s() > 600:
         # the subprocess never saw a clean bus in its 6-trial budget — give
         # the north metric ONE more full attempt after a longer quiet wait
         # (the storm that ate the first run has usually passed by now)
-        _wait_quiet(threshold=2.0, max_wait_s=300)
-        wait_for_bw(min_gbps=BW_CLEAN_GBPS, max_wait_s=300)
-        kg2 = _kg_subprocess(bench_rows, cpus)
+        _wait_quiet(threshold=2.0, max_wait_s=_wait_budget(300))
+        wait_for_bw(min_gbps=BW_CLEAN_GBPS, max_wait_s=_wait_budget(300))
+        kg2 = _kg_subprocess(bench_rows, cpus,
+                             trial_wait_s=_wait_budget(120))
         if not kg2.get("contended") or kg2["sec"] < kg["sec"]:
             kg = kg2
     n_triples = kg["n_triples"]
@@ -316,7 +336,8 @@ def main() -> None:
     # and carry a short reason in the report.
     kg_lc_error = None
     try:
-        kg_lc = _kg_subprocess(bench_rows, cpus, mode="lc")
+        kg_lc = _kg_subprocess(bench_rows, cpus, mode="lc",
+                               trial_wait_s=_wait_budget(120))
     except Exception as e:
         kg_lc = None
         import subprocess as _sp
