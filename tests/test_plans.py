@@ -90,3 +90,41 @@ def test_repo_counts_aggregation_has_map_side_partial(spark, sf_smoke):
     m = extract_mentions(C.corpus_from_documents(spark, sf_smoke))
     plan = _plan(repo_mention_counts(m))
     assert "partial_" in plan  # partial agg before every exchange
+
+
+def _built_edges(spark, sf_smoke):
+    return build_edges(
+        canonicalize_mentions(
+            road_address_gate(
+                extract_mentions(C.corpus_from_documents(spark, sf_smoke))
+            )
+        )
+    )
+
+
+def test_graph_queries_no_sort_merge_join(spark, sf_smoke):
+    """Round-3 read-side KG queries: every join must be broadcast (the
+    located_in / backbone sides are dimensions bounded by the address
+    vocabulary); a SortMergeJoin here would shuffle the 100 TB fact side."""
+    from extract_address_ner_spark.operators import graph_query as GQ
+
+    edges = _built_edges(spark, sf_smoke)
+    for df in (
+        GQ.degree_distribution(edges),
+        GQ.top_addresses_per_repo(edges),
+        GQ.region_rollup(edges),
+    ):
+        plan = _plan(df)
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+
+
+def test_refine_centroids_mean_is_partially_aggregated(spark, sf_smoke):
+    """The element-wise centroid mean must show partial_avg BEFORE its
+    exchange — the posexplode is pipelined into a map-side combine, so the
+    shuffle carries at most n_centroids x dim partial rows per partition,
+    never n x dim exploded rows."""
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    plan = _plan(ann.refine_centroids(emb, ann.seed_centroids(emb, 32), 1))
+    assert "partial_avg" in plan
+    assert "SortMergeJoin" not in plan
