@@ -196,6 +196,38 @@ def build_nodes(canonical_mentions: DataFrame) -> DataFrame:
     return files.unionByName(addrs).unionByName(regions)
 
 
+def write_edges_bucketed(
+    edges: DataFrame,
+    table: str = "kg_edges_bucketed",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize the edge table BUCKETED by subj (bucketBy + sortBy into
+    the session catalog) and return the bucketed read. Read-side queries
+    keyed on subj — degree counts, per-node rollups, self-joins on subj —
+    then plan with ZERO Exchange: the bucket files are the co-location
+    (`SelectedBucketsCount` in the scan, partial+final HashAggregate with
+    no shuffle between; pinned by tests/test_plans.py). This is the §2.6
+    storage-layer answer to the same problem `salted_agg` solves at
+    shuffle time: write once bucketed, aggregate forever shuffle-free.
+
+    At 100 TB: n_buckets should be sized so a bucket fits one task
+    (corpus_edges/n_buckets rows); a pathologically hot subj concentrates
+    in ONE bucket's task — streaming aggregation keeps memory flat, but
+    for wall-clock-critical reads on extremely skewed keys the salted
+    shuffle path remains the fallback. Catalog note: bucketing metadata
+    lives in the session catalog (saveAsTable) — on a cluster this is the
+    Hive/Iceberg metastore; plain `.parquet()` writes cannot carry it."""
+    (
+        edges.write.bucketBy(n_buckets, "subj")
+        .sortBy("subj")
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return edges.sparkSession.table(table)
+
+
 def repo_mention_counts(canonical_mentions: DataFrame, n_salts: int = 16) -> DataFrame:
     """Per-repo mention counts — the canonical hot-key aggregation (the
     mega-repo holds ~half the rows), done salted two-phase."""

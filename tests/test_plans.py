@@ -128,3 +128,23 @@ def test_refine_centroids_mean_is_partially_aggregated(spark, sf_smoke):
     plan = _plan(ann.refine_centroids(emb, ann.seed_centroids(emb, 32), 1))
     assert "partial_avg" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_edges_aggregate_is_shuffle_free(spark, sf_smoke, tmp_path):
+    """Round-3 storage-layer co-location: subj-keyed aggregation over the
+    bucketed edge table must plan with ZERO Exchange (bucket files ARE the
+    partitioning) and scan only the subj column."""
+    from extract_address_ner_spark.operators.link import write_edges_bucketed
+
+    edges = _built_edges(spark, sf_smoke)
+    t = write_edges_bucketed(edges, table="kg_edges_bucketed_test",
+                             n_buckets=8)
+    agg = t.groupBy("subj").agg(F.count(F.lit(1)).alias("degree"))
+    plan = _plan(agg)
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
+    # row parity with the unbucketed aggregate
+    direct = edges.groupBy("subj").agg(F.count(F.lit(1)).alias("degree"))
+    assert sorted(map(tuple, agg.collect())) == sorted(
+        map(tuple, direct.collect()))
+    spark.sql("DROP TABLE kg_edges_bucketed_test")
