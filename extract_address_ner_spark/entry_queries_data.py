@@ -292,6 +292,35 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_near_keep",
+    f"""
+WITH RECURSIVE {_D_LSH_CTES},
+verified AS ({_D_LSH_VERIFIED_SELECT}),
+edges AS (SELECT id_a AS u, id_b AS v FROM verified
+          UNION ALL SELECT id_b AS u, id_a AS v FROM verified),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM dup
+  UNION
+  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON e.u = r.dst
+),
+comp AS (SELECT src AS doc_id, min(dst) AS component_id
+         FROM reach GROUP BY src)
+SELECT d.doc_id, sha256(d.text) AS content_sha256
+FROM dup d JOIN comp c ON c.doc_id = d.doc_id
+WHERE c.component_id = d.doc_id""",
+)
+def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dedup chain as ONE operator (LSH candidates →
+    Jaccard verify → connected components → keeper semi-join) — what a
+    training-data pipeline actually runs; returns the KEPT corpus (one
+    min-id representative per near-dup component) with its content hash."""
+    kept = dedup.dedup_near(dup_documents(spark, sf_dir))
+    return kept.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+    )
+
+
+@register(
     "dedup_jaccard_pairs",
     f"""
 WITH dup AS ({DUP_DOCS_DUCK}),

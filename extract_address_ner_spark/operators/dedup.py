@@ -483,6 +483,26 @@ def connected_components(
     return out
 
 
+def dedup_near(
+    docs: DataFrame, pairs: DataFrame | None = None,
+    text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """END-TO-END near-dedup: keep exactly one representative (the min-id
+    keeper) per near-duplicate component. Composes the full production
+    chain — banded LSH candidates → Jaccard verification → connected
+    components → keeper semi-join — as one operator; ``pairs`` lets a
+    caller substitute any pair generator (SimHash, embedding cosine).
+    The semi-join back to the corpus is keyed on the id (broadcast-able
+    keeper side when duplicates are sparse)."""
+    if pairs is None:
+        pairs = lsh_verified_pairs(docs, text_col, id_col,
+                                   threshold=threshold)
+    comp = connected_components(docs, pairs, id_col)
+    keepers = comp.filter(F.col(id_col) == F.col("component_id")).select(id_col)
+    return docs.join(keepers, id_col, "left_semi")
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

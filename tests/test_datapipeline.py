@@ -364,6 +364,22 @@ def test_dedup_cache_scope_releases_blocks(spark, sf_smoke):
     assert residual == []
 
 
+def test_dedup_near_keeps_one_per_component(spark, sf_smoke):
+    """End-to-end near-dedup: exactly one (min-id) representative survives
+    per near-dup component; docs in no component survive untouched."""
+    docs = dup_documents(spark, sf_smoke)
+    pairs = dedup.lsh_verified_pairs(docs)
+    comp = {r["doc_id"]: r["component_id"]
+            for r in dedup.connected_components(docs, pairs).collect()}
+    kept = {r["doc_id"] for r in dedup.dedup_near(docs, pairs).collect()}
+    expected = {d for d, c in comp.items() if d == c}
+    assert kept == expected
+    assert len(kept) < docs.count()  # planted dups really collapsed
+    # planted exact-copy (i, i+200000) pairs: only i survives
+    for i in range(0, 500, 35):
+        assert i in kept and (i + 200000) not in kept
+
+
 def test_connected_components_on_planted_dups(spark, sf_smoke):
     """Exact copies (i, i+200000) and near copies (i, i+100000) must land in
     component min(i...) = i; docs in neither pair family are singletons."""
