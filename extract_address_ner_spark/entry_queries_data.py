@@ -360,6 +360,35 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(dup_documents(spark, sf_dir))
 
 
+@register(
+    "dedup_simhash_pairs",
+    f"""
+WITH dup AS ({DUP_DOCS_DUCK}),
+words AS (SELECT doc_id, {_D_WS} AS ws FROM dup),
+sh AS (SELECT doc_id, {_D_SHINGLES} AS shingles FROM words),
+expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+bits AS (SELECT doc_id, b,
+         sum(CASE WHEN ({_D_H64.format('s')} >> b) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+         FROM expl CROSS JOIN generate_series(0, 15) t(b) GROUP BY doc_id, b),
+sigs AS (SELECT doc_id,
+  CAST(sum(CASE WHEN sgn > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+  AND ((a.simhash >> 0) % 16 = (b.simhash >> 0) % 16
+    OR (a.simhash >> 4) % 16 = (b.simhash >> 4) % 16
+    OR (a.simhash >> 8) % 16 = (b.simhash >> 8) % 16
+    OR (a.simhash >> 12) % 16 = (b.simhash >> 12) % 16)""",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (pigeonhole-blocked hamming join) — the
+    oracle reproduces the 16-bit sketch, the 4x4-bit chunk-share predicate,
+    and the hamming cutoff entirely in SQL (xor + bit_count)."""
+    return dedup.simhash_near_pairs(dup_documents(spark, sf_dir))
+
+
 _D_COS = (
     "list_cosine_similarity(a.embedding, b.embedding)"
 )

@@ -114,6 +114,56 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+_STATEFUL_ORACLE = f"""
+WITH m AS ({{gold}})
+SELECT repo, CAST(count(*) AS BIGINT) AS batch_mentions,
+  CAST(count(*) AS BIGINT) AS total_mentions,
+  CAST(1 AS BIGINT) AS updates
+FROM m GROUP BY repo"""
+
+
+@register(
+    "streaming_stateful_totals",
+    _STATEFUL_ORACLE.format(gold=C.gold_mentions_sql(sha256_fn=DUCK_SHA)),
+)
+def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState running
+    per-repo totals) driven through the driver harness: the corpus lands
+    as ONE parquet file so the availableNow drain is exactly one
+    micro-batch — each repo then emits exactly one update row
+    (batch_mentions = total_mentions = its gold mention count,
+    updates = 1), which is exactly SQL-expressible. The state store,
+    Arrow group iteration, and update-mode emission all run for real;
+    multi-batch accumulation semantics stay pinned by
+    tests/test_stateful_streaming.py."""
+    from .streaming.stateful import running_repo_totals
+
+    work = tempfile.mkdtemp(prefix="stream_state_")
+    try:
+        corpus = C.corpus_from_documents(spark, sf_dir)
+        in_dir = f"{work}/ingest"
+        corpus.coalesce(1).write.parquet(in_dir)  # one file → one batch
+        stream = S.read_corpus_stream(spark, in_dir)
+        totals = running_repo_totals(S.stream_extract_mentions(stream))
+        q = (
+            totals.writeStream.format("memory")
+            .queryName("stateful_totals_driver")
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.sql(
+            "SELECT repo, batch_mentions, total_mentions, updates "
+            "FROM stateful_totals_driver"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _STREAM_WIN_ORACLE = """
 WITH ev AS (SELECT * FROM events),
 wm AS (SELECT max(ts) - INTERVAL '30 minutes' AS w FROM ev)
