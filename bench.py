@@ -125,7 +125,7 @@ from extract_address_ner_spark.sources.corpus import synthesize_corpus
 
 cpus, rows = int(sys.argv[1]), int(sys.argv[2])
 mode = sys.argv[3] if len(sys.argv) > 3 else "local"
-trial_wait_s = int(sys.argv[4]) if len(sys.argv) > 4 else 120
+wait_budget_s = float(sys.argv[4]) if len(sys.argv) > 4 else 360.0
 parts = cpus * 8
 conf = {{"spark.ui.showConsoleProgress": "false"}}
 if mode == "lc":
@@ -176,7 +176,12 @@ bw_at_best, bw_at_clean = (0.0, 0.0), (0.0, 0.0)
 for trial in range(6):
     if trial >= 3 and best_clean is not None:
         break
-    bw_pre = wait_for_bw(min_gbps=CLEAN, max_wait_s=trial_wait_s)
+    # per-trial wait comes out of a TOTAL budget the caller sized from its
+    # remaining bench budget — 6 trials can never compound into 6 full waits
+    w0 = time.monotonic()
+    bw_pre = wait_for_bw(min_gbps=CLEAN,
+                         max_wait_s=int(min(120, max(0, wait_budget_s))))
+    wait_budget_s -= time.monotonic() - w0
     t0 = time.monotonic()
     n = kg(corpus).count()
     dt = time.monotonic() - t0
@@ -200,13 +205,13 @@ shutil.rmtree(corpus_dir, ignore_errors=True)
 
 
 def _kg_subprocess(rows: int, cpus: int, mode: str = "local",
-                   trial_wait_s: int = 120) -> dict:
+                   wait_budget_s: int = 360) -> dict:
     import subprocess
 
     repo = str(Path(__file__).resolve().parent)
     out = subprocess.run(
         [sys.executable, "-c", _KG_RUNNER.format(repo=repo), str(cpus),
-         str(rows), mode, str(trial_wait_s)],
+         str(rows), mode, str(wait_budget_s)],
         capture_output=True,
         text=True,
         check=True,
@@ -308,7 +313,7 @@ def main() -> None:
     # contended vs quiet)
     _wait_quiet(threshold=2.0, max_wait_s=_wait_budget(300))
     kg = _kg_subprocess(bench_rows, cpus,
-                        trial_wait_s=_wait_budget(120))
+                        wait_budget_s=_wait_budget(360))
     if kg.get("contended") and _remaining_s() > 600:
         # the subprocess never saw a clean bus in its 6-trial budget — give
         # the north metric ONE more full attempt after a longer quiet wait
@@ -316,7 +321,7 @@ def main() -> None:
         _wait_quiet(threshold=2.0, max_wait_s=_wait_budget(300))
         wait_for_bw(min_gbps=BW_CLEAN_GBPS, max_wait_s=_wait_budget(300))
         kg2 = _kg_subprocess(bench_rows, cpus,
-                             trial_wait_s=_wait_budget(120))
+                             wait_budget_s=_wait_budget(360))
         if not kg2.get("contended") or kg2["sec"] < kg["sec"]:
             kg = kg2
     n_triples = kg["n_triples"]
@@ -337,7 +342,7 @@ def main() -> None:
     kg_lc_error = None
     try:
         kg_lc = _kg_subprocess(bench_rows, cpus, mode="lc",
-                               trial_wait_s=_wait_budget(120))
+                               wait_budget_s=_wait_budget(240))
     except Exception as e:
         kg_lc = None
         import subprocess as _sp

@@ -81,7 +81,14 @@ def dedup_cache_scope():
     try:
         yield
     finally:
-        _CACHE_SCOPES.remove(scope)
+        # remove by IDENTITY, not equality — two scopes' lists compare ==
+        # whenever they hold the same DataFrames (or are both empty), and
+        # list.remove would pop the OUTER scope's list from under a nested
+        # scope, leaking its persists and raising on the outer exit
+        for i, sc in enumerate(_CACHE_SCOPES):
+            if sc is scope:
+                del _CACHE_SCOPES[i]
+                break
         for df in scope:
             df.unpersist()
 

@@ -42,18 +42,29 @@ def salted_partials(
     non-key column is a per-tagger-constant confidence) have every non-key
     column constant within the hot group, so any salt derived from column
     VALUES degenerates to one salt per key and phase 1 becomes a plain
-    groupBy — silently, exactly where the salt is supposed to defend. The
-    salt is therefore positional: ``monotonically_increasing_id()`` encodes
-    (partition_id << 33 | row ordinal), so it differs on every row of a hot
-    key regardless of the row's contents, both across partitions and within
-    one; hashing it with the seed spreads groups uniformly over n_salts.
-    The salt is dropped by the phase-2 aggregate, so the final RESULT is
-    deterministic even though row→salt assignment may differ across
-    retries/repartitionings (FIXTURES.md: no unseeded randomness affecting
-    results)."""
-    salt = (
-        F.abs(F.hash(F.monotonically_increasing_id() + F.lit(salt_seed)))
-        % n_salts
+    groupBy — silently, exactly where the salt is supposed to defend.
+
+    The salt is ``pmod(hash(spark_partition_id() + seed), n_salts)``:
+
+    - It varies within a hot group because a key is only HOT when its rows
+      span many input partitions — each partition contributes its own salt,
+      so the key spreads over ~min(n_partitions, n_salts) partials. (A key
+      confined to ONE partition gets one salt, which is fine: phase-1
+      map-side aggregation collapses it locally to a single row and no
+      reducer ever sees its raw rows.)
+    - It is DETERMINISTIC under stage retries: the salt is constant per
+      partition and independent of intra-partition row ORDER, so a
+      recomputed map task emits identical partials even though shuffle
+      fetch order differs between attempts. (A per-row ordinal salt like
+      monotonically_increasing_id would make retried partials disagree
+      with the first attempt's — reducers holding a mix of attempt-1 and
+      attempt-2 blocks would double-count or drop rows.)
+    - ``pmod`` not ``abs``: under ANSI mode (Spark 4 default)
+      ``abs(hash(...))`` raises ARITHMETIC_OVERFLOW when the 32-bit hash
+      lands exactly on Int.MinValue (~1 row in 2^32 — near-certain at
+      100 TB scale)."""
+    salt = F.pmod(
+        F.hash(F.spark_partition_id() + F.lit(salt_seed)), F.lit(n_salts)
     ).alias("_salt")
     return df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_aggs)
 

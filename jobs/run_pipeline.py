@@ -116,8 +116,17 @@ def main() -> int:
     print(f"run_id={args.run_id} computed_stages={p.ran_stages}")
     for stage in StagedPipeline.STAGES:
         print(f"  {stage}: {out[stage].count()} rows")
-    print(f"throughput: {n_edges} edges in {wall:.2f}s "
-          f"({n_edges / wall:.0f} edges/s) on master={spark.conf.get('spark.master')}")
+    if "edges" in p.ran_stages:
+        print(f"throughput: {n_edges} edges in {wall:.2f}s "
+              f"({n_edges / wall:.0f} edges/s) on "
+              f"master={spark.conf.get('spark.master')}")
+    else:
+        # resumed run: the edge stage was skipped (durable _SUCCESS), so
+        # wall measures skip-checks + a parquet count — printing a rate
+        # would be a wildly inflated non-number
+        print(f"resumed: edges stage skipped ({n_edges} edges on disk, "
+              f"{wall:.2f}s wall; no throughput measured) on "
+              f"master={spark.conf.get('spark.master')}")
     ok = p.sha_invariant_ok()
     print(f"sha256 invariant: {'OK' if ok else 'VIOLATED'}")
     if args.eval_gold:

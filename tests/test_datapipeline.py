@@ -362,6 +362,17 @@ def test_dedup_cache_scope_releases_blocks(spark, sf_smoke):
     residual = [i for i in sc._jsc.sc().getRDDStorageInfo()
                 if i.numCachedPartitions() > 0]
     assert residual == []
+    # NESTED scopes: the inner exit must not unhook the outer scope
+    # (regression: list.remove pops by ==, and element-identical scope
+    # lists compare equal — the outer scope leaked everything persisted
+    # after the inner scope closed, then raised on its own exit)
+    with dedup.dedup_cache_scope():
+        with dedup.dedup_cache_scope():
+            assert dedup.jaccard_pairs(docs).count() >= 0
+        assert dedup.simhash_near_pairs(docs).count() >= 0
+    residual = [i for i in sc._jsc.sc().getRDDStorageInfo()
+                if i.numCachedPartitions() > 0]
+    assert residual == []
 
 
 def test_dedup_near_keeps_one_per_component(spark, sf_smoke):
