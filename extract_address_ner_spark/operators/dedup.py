@@ -52,20 +52,29 @@ leaves only its final (already materialized) label table cached.
 from __future__ import annotations
 
 import contextlib
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Active dedup_cache_scope registries (a stack — scopes can nest; every
-# active scope sees the persist so nesting never leaks).
-_CACHE_SCOPES: list[list[DataFrame]] = []
+# active scope sees the persist so nesting never leaks). THREAD-LOCAL:
+# scopes opened on one thread must never capture (and later unpersist)
+# caches another thread sharing the SparkSession is still using.
+_TLS = threading.local()
+
+
+def _scopes() -> list[list[DataFrame]]:
+    if not hasattr(_TLS, "stack"):
+        _TLS.stack = []
+    return _TLS.stack
 
 
 def _persist(df: DataFrame) -> DataFrame:
-    """persist() that registers with any active dedup_cache_scope so the
-    scope can unpersist it on exit."""
+    """persist() that registers with any active dedup_cache_scope on THIS
+    thread so the scope can unpersist it on exit."""
     df = df.persist()
-    for scope in _CACHE_SCOPES:
+    for scope in _scopes():
         scope.append(df)
     return df
 
@@ -77,7 +86,8 @@ def dedup_cache_scope():
     the scope — after exit their cached inputs are released and a re-run
     would recompute them (correct, just slower)."""
     scope: list[DataFrame] = []
-    _CACHE_SCOPES.append(scope)
+    stack = _scopes()
+    stack.append(scope)
     try:
         yield
     finally:
@@ -85,9 +95,9 @@ def dedup_cache_scope():
         # whenever they hold the same DataFrames (or are both empty), and
         # list.remove would pop the OUTER scope's list from under a nested
         # scope, leaking its persists and raising on the outer exit
-        for i, sc in enumerate(_CACHE_SCOPES):
+        for i, sc in enumerate(stack):
             if sc is scope:
-                del _CACHE_SCOPES[i]
+                del stack[i]
                 break
         for df in scope:
             df.unpersist()

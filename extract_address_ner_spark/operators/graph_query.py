@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .dedup import _persist
 from .link import salted_agg
 
 MENTIONS = "mentions_address"
@@ -33,7 +34,12 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
     """(pred, direction, degree, n_nodes): how many nodes have a given
     out-/in-degree, per predicate — the first sanity query over any KG.
     Per-node degrees are salted two-phase (hot canonical addresses), the
-    histogram over (pred, degree) is uniform by construction."""
+    histogram over (pred, degree) is uniform by construction. The edges
+    input feeds BOTH direction branches, so it is persisted (scope-aware,
+    see dedup.dedup_cache_scope) — without it an unmaterialized upstream
+    pipeline would run twice."""
+    edges = _persist(edges)
+
     def degrees(node_col: str, direction: str) -> DataFrame:
         per_node = salted_agg(
             edges.select("pred", F.col(node_col).alias("node")),
@@ -81,7 +87,10 @@ def region_rollup(edges: DataFrame) -> DataFrame:
     backbone hop exposing the region's parent. The located_in side (address
     → region, plus the static region hierarchy) is broadcast — it is
     bounded by the address vocabulary, never by corpus size — so the only
-    shuffle is the final distinct-count aggregation."""
+    shuffle is the final distinct-count aggregation. The edges input feeds
+    three branches (mentions, located_in, backbone), so it is persisted
+    (scope-aware) — an unmaterialized upstream pipeline would run 3x."""
+    edges = _persist(edges)
     ma = edges.filter(F.col("pred") == MENTIONS).select(
         F.col("subj").alias("file_id"), F.col("obj").alias("address_id")
     )

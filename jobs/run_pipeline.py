@@ -71,6 +71,8 @@ def main() -> int:
             n_exec, exec_cores = (int(x) for x in args.local_cluster.split(","))
         except ValueError:
             ap.error("--local-cluster expects N_EXEC,CORES (e.g. 4,8)")
+        if n_exec < 1 or exec_cores < 1:
+            ap.error("--local-cluster N_EXEC and CORES must be >= 1")
         mem_mb = max(2048, 14336 * exec_cores // 8)
         master = f"local-cluster[{n_exec},{exec_cores},{mem_mb}]"
         extra_conf = {
@@ -111,19 +113,21 @@ def main() -> int:
     p = StagedPipeline(spark, args.warehouse, run_id=args.run_id)
     t0 = time.monotonic()
     out = p.run(source)
-    n_edges = out["edges"].count()
-    wall = time.monotonic() - t0
+    wall = time.monotonic() - t0  # run() materializes every stage durably;
+    # the read-back counts below are reporting, not pipeline work
+    counts = {stage: out[stage].count() for stage in StagedPipeline.STAGES}
+    n_edges = counts["edges"]
     print(f"run_id={args.run_id} computed_stages={p.ran_stages}")
     for stage in StagedPipeline.STAGES:
-        print(f"  {stage}: {out[stage].count()} rows")
+        print(f"  {stage}: {counts[stage]} rows")
     if "edges" in p.ran_stages:
         print(f"throughput: {n_edges} edges in {wall:.2f}s "
               f"({n_edges / wall:.0f} edges/s) on "
               f"master={spark.conf.get('spark.master')}")
     else:
         # resumed run: the edge stage was skipped (durable _SUCCESS), so
-        # wall measures skip-checks + a parquet count — printing a rate
-        # would be a wildly inflated non-number
+        # wall measures only skip-checks — printing a rate would be a
+        # wildly inflated non-number
         print(f"resumed: edges stage skipped ({n_edges} edges on disk, "
               f"{wall:.2f}s wall; no throughput measured) on "
               f"master={spark.conf.get('spark.master')}")
