@@ -57,7 +57,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from extract_address_ner_spark import entry_queries as EQ  # noqa: E402
 from extract_address_ner_spark import entry_queries_data  # noqa: E402,F401
 from extract_address_ner_spark.session import get_spark  # noqa: E402
-from scripts.hostbw import copy_gbps, wait_for_bw  # noqa: E402
+from scripts.hostbw import BusMonitor, copy_gbps, wait_for_bw  # noqa: E402
 
 # A trial is clean iff pre AND post bus rates are >= this (GB/s). The host's
 # bimodal states: 4.5-5.8 quiet, 2.4-2.9 sustained-moderate, 0.1-0.5
@@ -170,8 +170,9 @@ kg(corpus.limit(20000)).count()  # warm-up (codegen/JIT), not timed
 # catches the first trials doesn't become the round-of-record number. If no
 # trial is ever clean, report the best contaminated time WITH
 # contended=true so the caller can flag it instead of headlining it.
-from scripts.hostbw import copy_gbps, wait_for_bw
+from scripts.hostbw import BusMonitor, copy_gbps, wait_for_bw
 best, best_clean, n = None, None, 0
+during_at_best = None
 bw_at_best, bw_at_clean = (0.0, 0.0), (0.0, 0.0)
 for trial in range(6):
     if trial >= 3 and best_clean is not None:
@@ -183,13 +184,15 @@ for trial in range(6):
                          max_wait_s=int(min(120, max(0, wait_budget_s))))
     wait_budget_s -= time.monotonic() - w0
     t0 = time.monotonic()
-    n = kg(corpus).count()
+    with BusMonitor() as mon:
+        n = kg(corpus).count()
     dt = time.monotonic() - t0
     time.sleep(1.0)  # let our own JVM's post-stage GC churn settle so the
     # post probe reads HOST pressure, not our wind-down
     bw_post = copy_gbps()
     if best is None or dt < best:
         best, bw_at_best = dt, (bw_pre, bw_post)
+        during_at_best = mon.min_rate
     if bw_pre >= CLEAN and bw_post >= CLEAN and (
             best_clean is None or dt < best_clean):
         best_clean, bw_at_clean = dt, (bw_pre, bw_post)
@@ -197,6 +200,9 @@ sec, bw = (best_clean, bw_at_clean) if best_clean is not None \
     else (best, bw_at_best)
 print(json.dumps({{"n_triples": n, "sec": round(sec, 3),
                    "contended": best_clean is None,
+                   "bw_during_min": round(during_at_best, 1)
+                   if best_clean is None and during_at_best is not None
+                   else None,
                    "bw_gbps": [round(bw[0], 1), round(bw[1], 1)]}}))
 spark.stop()
 import shutil
@@ -259,13 +265,16 @@ def main() -> None:
             df = qmap[name](spark, sf_dir)
             bw_pre = copy_gbps(samples=1)
             t0 = time.monotonic()
-            _materialize(df)
+            with BusMonitor() as mon:  # diagnostic mid-trial sampling —
+                # endpoint probes can miss a storm arriving mid-trial
+                _materialize(df)
             dt = time.monotonic() - t0
             time.sleep(0.5)  # let our own JVM's post-stage GC churn settle
             # so the post probe reads HOST pressure, not our wind-down
             bw_post = copy_gbps(samples=1)
             if rec["best"] is None or dt < rec["best"]:
                 rec["best"], rec["bw"] = dt, (bw_pre, bw_post)
+                rec["bw_during_min"] = mon.min_rate
             if bw_pre >= BW_CLEAN_GBPS and bw_post >= BW_CLEAN_GBPS and (
                     rec["best_clean"] is None or dt < rec["best_clean"]):
                 rec["best_clean"], rec["bw_clean"] = dt, (bw_pre, bw_post)
@@ -274,7 +283,8 @@ def main() -> None:
     for name in HEADLINE:
         _materialize(qmap[name](spark, sf_dir))  # warm-up, not timed
         recs[name] = {"best": None, "best_clean": None,
-                      "bw": (0.0, 0.0), "bw_clean": (0.0, 0.0)}
+                      "bw": (0.0, 0.0), "bw_clean": (0.0, 0.0),
+                      "bw_during_min": None}
         _run_trials(name, 2, recs[name])
     # Bounded retry passes: re-queue queries whose trials all ran on a
     # contended bus — storms pass, so a later window is usually clean. Each
@@ -298,6 +308,10 @@ def main() -> None:
         else:
             timings[name] = round(r["best"], 3)
             query_bw[name] = [round(x, 1) for x in r["bw"]]
+            if r.get("bw_during_min") is not None:
+                # third element: MIN in-trial rate (diagnostic — own load
+                # depresses it; a storm reads 0.1-0.5)
+                query_bw[name].append(round(r["bw_during_min"], 1))
             contended.append(name)
 
     # north-metric throughput: full KG path on skewed synthetic corpus,

@@ -58,6 +58,48 @@ def copy_gbps(samples: int = 3, pause_s: float = 0.2) -> float:
     return rates[len(rates) // 2]
 
 
+class BusMonitor:
+    """Background sampler for the copy rate DURING a timed region.
+
+    Endpoint probes bound but cannot eliminate mid-trial pressure arrival
+    (a storm can land between the pre and post probes and erase a long
+    trial while both endpoints read clean — observed 2026-08-17: a 4×8
+    local-cluster leg measured 69 s with endpoint probes at 2.5/2.6 while
+    the bus was collapsing to 0.1-0.5 mid-leg). The monitor samples a
+    single 128 MB copy every ``interval_s`` on a daemon thread and reports
+    the MIN rate seen. DIAGNOSTIC ONLY — our own Spark load legitimately
+    depresses the in-trial rate (CPU + real bus use), so callers must NOT
+    gate cleanliness on it; they record it so a contaminated trial is
+    adjudicable after the fact (own-load depression on a quiet host reads
+    ~1-3; a genuine storm reads 0.1-0.5)."""
+
+    def __init__(self, interval_s: float = 5.0):
+        self.interval_s = interval_s
+        self.min_rate: float | None = None
+        self._stop = None
+
+    def __enter__(self):
+        import threading
+
+        self._stop = threading.Event()
+
+        def run():
+            while not self._stop.is_set():
+                r = copy_gbps(samples=1)
+                if self.min_rate is None or r < self.min_rate:
+                    self.min_rate = r
+                self._stop.wait(self.interval_s)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=5)
+        return False
+
+
 def wait_for_bw(min_gbps: float = 2.0, max_wait_s: int = 600,
                 settle_s: float = 5.0) -> float:
     """Bounded wait for a quiet-bus window: require TWO probe medians
