@@ -107,7 +107,7 @@ RUNNER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from extract_address_ner_spark.session import get_spark
-from scripts.hostbw import copy_gbps, wait_for_bw
+from scripts.hostbw import BusMonitor, copy_gbps, wait_for_bw
 
 level = int(sys.argv[1])   # local mode: threads; local-cluster: executors
 mode = {mode!r}
@@ -146,6 +146,7 @@ def cpu_ticks():
 
 NCPU = os.cpu_count()
 best, ext_at_best, bw_at_best, n = None, None, (0.0, 0.0), 0
+bw_during_at_best = None
 for _ in range(2):  # best-of-2 (legs are long; min rejects contended runs)
     spark.catalog.clearCache()  # operators persist(); plan-matched cache
                                 # reuse would shrink the second trial's job
@@ -154,7 +155,9 @@ for _ in range(2):  # best-of-2 (legs are long; min rejects contended runs)
     bw_pre = wait_for_bw()
     b0, t0j = cpu_ticks()
     t0 = time.monotonic()
-    n = job(corpus).count()
+    with BusMonitor() as mon:  # min in-trial rate — endpoint probes can
+        # miss a storm arriving mid-leg (diagnostic; own load depresses it)
+        n = job(corpus).count()
     dt = time.monotonic() - t0
     b1, t1j = cpu_ticks()
     bw_post = copy_gbps()
@@ -164,11 +167,14 @@ for _ in range(2):  # best-of-2 (legs are long; min rejects contended runs)
     ext = max(0.0, busy_cores - cpus)
     if best is None or dt < best:
         best, ext_at_best, bw_at_best = dt, ext, (bw_pre, bw_post)
+        bw_during_at_best = mon.min_rate
 thru = ({thru_rows} and n_rows or n) / best
 print(json.dumps({{"cpus": cpus, "n_out": n, "n_rows": n_rows,
                    "sec": round(best, 3), "ext_during": round(ext_at_best, 1),
                    "bw_pre": round(bw_at_best[0], 1),
                    "bw_post": round(bw_at_best[1], 1),
+                   "bw_during_min": round(bw_during_at_best, 1)
+                   if bw_during_at_best is not None else None,
                    "units_per_sec": round(thru, 1)}}))
 spark.stop()
 """
@@ -319,7 +325,8 @@ def main() -> None:
             f"| {ratio:.2f}× | **{eff:.2f}** "
             f"| {rn['ext_during']:.1f}/{r4['ext_during']:.1f} "
             f"| {min(rn['bw_pre'], rn['bw_post']):.1f}/"
-            f"{min(r4['bw_pre'], r4['bw_post']):.1f} |"
+            f"{min(r4['bw_pre'], r4['bw_post']):.1f} "
+            f"| {rn.get('bw_during_min')}/{r4.get('bw_during_min')} |"
         )
     table = "\n".join(rows_md)
     any_r = list(results.values())[0][0]
@@ -356,11 +363,15 @@ contaminated). `bus GB/s` is the min of the memcpy-probe rates measured
 immediately before and after the best trial (scripts/hostbw.py — co-tenant
 memory pressure is invisible to CPU counters; quiet ≥ 3.0, contended mode
 measures 0.1-0.5): every trial additionally WAITS for a measured-quiet bus
-before starting. Generated by
+before starting. `in-trial min GB/s` is the MINIMUM probe rate sampled
+every 5 s DURING the best trial (diagnostic: our own load depresses it —
+a quiet host under our full load reads ~1-3; a genuine co-tenant storm
+reads 0.1-0.5 — it exists because a storm can arrive mid-leg between
+clean endpoint probes, observed 2026-08-17). Generated by
 `python scripts/scaling_bench.py {rows} --job {job} --mode {mode}` at {stamp}.
 
-| N | wall s | {unit} | 4N | wall s | {unit} | speed-up | efficiency | ext load N/4N | bus GB/s N/4N |
-|---|---|---|---|---|---|---|---|---|---|
+| N | wall s | {unit} | 4N | wall s | {unit} | speed-up | efficiency | ext load N/4N | bus GB/s N/4N | in-trial min GB/s N/4N |
+|---|---|---|---|---|---|---|---|---|---|---|
 {table}
 
 North-rule target: efficiency ≥ 0.8 between N and 4N executors.
