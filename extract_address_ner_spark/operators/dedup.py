@@ -46,7 +46,9 @@ issuing many dedup calls have two escape hatches:
   also clears caches the caller made, so it is the blunt instrument).
 
 ``connected_components`` unpersists every intermediate round itself and
-leaves only its final (already materialized) label table cached.
+leaves only its final (already materialized) label table cached — that
+final table is scope-registered too, so a ``dedup_cache_scope`` releases
+it (unpersisting the already-released intermediates is a no-op).
 """
 
 from __future__ import annotations
@@ -468,20 +470,20 @@ def connected_components(
     pathological chain-shaped graphs (at 100 TB you'd switch to the
     large-star/small-star variant for those; near-dup graphs don't produce
     them)."""
-    edges = (
+    edges = _persist(
         pairs.select(F.col("id_a").alias("_u"), F.col("id_b").alias("_v"))
         .union(pairs.select(F.col("id_b").alias("_u"), F.col("id_a").alias("_v")))
-    ).persist()
-    labels = docs.select(
+    )
+    labels = _persist(docs.select(
         F.col(id_col).alias("_id"), F.col(id_col).alias("_lab")
-    ).persist()
+    ))
     for _ in range(max_iter):
         msgs = edges.join(
             labels, edges["_u"] == labels["_id"]
         ).select(F.col("_v").alias("_id"), "_lab")
-        new_labels = (
+        new_labels = _persist(
             labels.union(msgs).groupBy("_id").agg(F.min("_lab").alias("_lab"))
-        ).persist()
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n._id") == F.col("o._id"))

@@ -362,6 +362,13 @@ def test_dedup_cache_scope_releases_blocks(spark, sf_smoke):
     residual = [i for i in sc._jsc.sc().getRDDStorageInfo()
                 if i.numCachedPartitions() > 0]
     assert residual == []
+    # connected_components' FINAL label table is scope-registered too —
+    # the full dedup_near chain inside a scope leaves nothing cached
+    with dedup.dedup_cache_scope():
+        assert dedup.dedup_near(docs).count() >= 0
+    residual = [i for i in sc._jsc.sc().getRDDStorageInfo()
+                if i.numCachedPartitions() > 0]
+    assert residual == []
     # NESTED scopes: the inner exit must not unhook the outer scope
     # (regression: list.remove pops by ==, and element-identical scope
     # lists compare equal — the outer scope leaked everything persisted
