@@ -3,7 +3,11 @@
     {"metric": "headline_suite_sec", "value": N, "unit": "sec",
      "queries": {...per-query sec...}, "sf": 0.1,
      "triples_per_sec": T, "n_triples": K, "corpus_rows": M,
-     "triples_per_sec_lc": T2}
+     "triples_per_sec_lc": T2,
+     "contended_queries": [...names with no clean-bus trial...],
+     "query_bus_gbps": {name: [pre, post] or [pre, post, during_min]},
+     "kg_bus_gbps_pre_post": [...], "kg_lc_bus_gbps_pre_post": [...],
+     "kg_lc_error": null}
 
 triples_per_sec runs the KG path in ONE local[cpus] JVM (round-comparable
 series); triples_per_sec_lc runs the SAME job on the same total cores in
