@@ -93,6 +93,7 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_lsh_pairs",
     "dedup_lsh_verified_pairs",
+    "dedup_near_keep",
     "dedup_minhash_signatures",
     "ann_brute_topk",
     "text_quality_score",
@@ -345,9 +346,14 @@ def main() -> None:
     n_triples = kg["n_triples"]
     triples_sec = kg["sec"]
     timings["kg_triples_synth"] = round(triples_sec, 3)
-    query_bw["kg_triples_synth"] = kg.get("bw_gbps")
+    query_bw["kg_triples_synth"] = list(kg.get("bw_gbps") or [])
     if kg.get("contended"):
         contended.append("kg_triples_synth")
+        if kg.get("bw_during_min") is not None:
+            # keep the documented [pre, post, during_min] schema for the
+            # north-metric entry too (ADVICE r03: the subprocess measured
+            # the in-trial minimum but main dropped it)
+            query_bw["kg_triples_synth"].append(kg["bw_during_min"])
     bw_gbps = kg.get("bw_gbps")
     # same job, same total cores, DEPLOYMENT shape: multi-process executors
     # (local-cluster) instead of one big-thread-count JVM — recorded as a
@@ -358,25 +364,44 @@ def main() -> None:
     # would otherwise look like a one-off hiccup): log the cause to stderr
     # and carry a short reason in the report.
     kg_lc_error = None
-    try:
-        kg_lc = _kg_subprocess(bench_rows, cpus, mode="lc",
-                               wait_budget_s=_wait_budget(240))
-    except Exception as e:
-        kg_lc = None
-        import subprocess as _sp
-        import traceback
-        detail = e.stderr[-2000:] if isinstance(
-            e, _sp.CalledProcessError) and e.stderr else ""
-        kg_lc_error = f"{type(e).__name__}: {e}"
-        print(f"local-cluster leg failed: {kg_lc_error}\n{detail}",
-              file=sys.stderr)
-        traceback.print_exc(file=sys.stderr)
+
+    def _run_lc() -> dict | None:
+        try:
+            return _kg_subprocess(bench_rows, cpus, mode="lc",
+                                  wait_budget_s=_wait_budget(240))
+        except Exception as e:
+            nonlocal kg_lc_error
+            import subprocess as _sp
+            import traceback
+            detail = e.stderr[-2000:] if isinstance(
+                e, _sp.CalledProcessError) and e.stderr else ""
+            kg_lc_error = f"{type(e).__name__}: {e}"
+            print(f"local-cluster leg failed: {kg_lc_error}\n{detail}",
+                  file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
+            return None
+
+    kg_lc = _run_lc()
+    if kg_lc and kg_lc.get("contended") and _remaining_s() > 600:
+        # same budget-gated retry the one-JVM kg leg gets (VERDICT r03 #1):
+        # the deployment-shape number is the repo's central performance claim
+        # (4x8 executors beat one local[32] JVM), so a storm eating the only
+        # lc trial must not become the round-of-record without one more
+        # attempt after a longer quiet wait.
+        _wait_quiet(threshold=2.0, max_wait_s=_wait_budget(300))
+        wait_for_bw(min_gbps=BW_CLEAN_GBPS, max_wait_s=_wait_budget(300))
+        kg_lc2 = _run_lc()
+        if kg_lc2 and (not kg_lc2.get("contended")
+                       or kg_lc2["sec"] < kg_lc["sec"]):
+            kg_lc = kg_lc2
     if kg_lc and kg_lc.get("contended"):
         contended.append("kg_triples_synth_lc")
         # keep the docstring's promise: every contended entry has its rates
-        # in query_bus_gbps (duplicates kg_lc_bus_gbps_pre_post)
-        query_bus_gbps_lc = kg_lc.get("bw_gbps")
-        query_bw["kg_triples_synth_lc"] = query_bus_gbps_lc
+        # in query_bus_gbps (duplicates kg_lc_bus_gbps_pre_post), plus the
+        # in-trial minimum when the subprocess measured one
+        query_bw["kg_triples_synth_lc"] = list(kg_lc.get("bw_gbps") or [])
+        if kg_lc.get("bw_during_min") is not None:
+            query_bw["kg_triples_synth_lc"].append(kg_lc["bw_during_min"])
     # reported as separate fields, NOT added to the suite total, so
     # headline_suite_sec stays comparable across rounds
 
