@@ -321,6 +321,39 @@ def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components_chain",
+    """
+WITH RECURSIVE nodes AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+edges0 AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM nodes
+           WHERE doc_id < 199 AND (doc_id + 1) % 37 != 0),
+edges AS (SELECT id_a AS u, id_b AS v FROM edges0
+          UNION ALL SELECT id_b AS u, id_a AS v FROM edges0),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON e.u = r.dst
+)
+SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src""",
+)
+def q_dedup_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHAIN-SHAPED worst case for component finding (VERDICT r03 #2):
+    a planted 200-node path graph, broken into segments at every 37th node
+    (so the output is 6 non-trivial components, not one constant). Plain
+    min-label propagation needs O(chain length) rounds here; the
+    large-star/small-star operator collapses it in ~log₂ rounds (round
+    count pinned by pytest), and this query pins its RESULT against the
+    same recursive-CTE reachability oracle the dense-graph query uses."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id")
+    pairs = docs.filter(
+        (F.col("doc_id") < 199) & ((F.col("doc_id") + 1) % 37 != 0)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(1)).alias("id_b"),
+    )
+    return dedup.connected_components_star(docs, pairs)
+
+
+@register(
     "dedup_jaccard_pairs",
     f"""
 WITH dup AS ({DUP_DOCS_DUCK}),
@@ -543,7 +576,7 @@ qs AS (SELECT q_id, qv, centroid_id AS cluster_id FROM
      ORDER BY CAST(round(list_cosine_similarity(cv, qv), 4) AS DOUBLE) DESC,
               centroid_id) AS r
    FROM q CROSS JOIN cents)
-  WHERE r <= 3),
+  WHERE r <= 6),
 cand AS (SELECT q_id, qv, e.vec_id AS neighbor_id, e.v
   FROM qs JOIN assign a ON qs.cluster_id = a.cluster_id
   JOIN e ON e.vec_id = a.vec_id
@@ -556,9 +589,15 @@ SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
 FROM ranked WHERE rank <= 10""",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(refine=1, nprobe=6) is the measured knee of the recall/compute
+    sweep (tests/test_datapipeline.py::test_ivf_recall_sweep_table):
+    one k-means round lifts recall at every probe width (+0.06 at
+    nprobe=6) and nprobe=6/32 centroids is the cheapest point at or above
+    the 0.5 recall@10 floor (0.54 measured, deterministic) — probing ~19%
+    of the corpus vs an exhaustive scan."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter("vec_id < 5")
-    return ann.ivf_topk(emb, queries, k=10, n_centroids=32, nprobe=3,
+    return ann.ivf_topk(emb, queries, k=10, n_centroids=32, nprobe=6,
                         refine=1)
 
 

@@ -18,9 +18,12 @@ in entry_queries:
                pairing for near-dup.
 - embedding:   cosine near-dup over an embedding column (brute pairs at test
                scale; the ANN module's LSH buckets are the 100 TB path).
-- components:  connected components over the near-dup pair list (min-label
-               propagation) — cluster collapse / keeper selection, the stage
-               after pair generation in a real dedup.
+- components:  connected components over the near-dup pair list — cluster
+               collapse / keeper selection, the stage after pair generation
+               in a real dedup. Two interchangeable algorithms: min-label
+               propagation (O(diameter) rounds — dense near-dup clusters)
+               and alternating large-star/small-star (O(log² n) worst case —
+               chain-shaped components).
 
 All hash material derives from md5 hex prefixes so DuckDB oracles reproduce
 values exactly (cross-engine bridge: conv(substr(md5(x),1,15),16,10)).
@@ -107,6 +110,17 @@ def dedup_cache_scope():
 N_HASHES = 16
 BAND_SIZE = 4
 SHINGLE_K = 3
+
+#: Recommended PRODUCTION bucket cap for lsh_candidate_pairs /
+#: lsh_verified_pairs (the correctness default stays None = exact
+#: semantics). Measured trade-off (BENCH.md round-4 table): on the
+#: sf0.1 planted-duplicate corpus, recall vs exact Jaccard is 1.0000 at
+#: cap ∈ {None, 200, 50} — every pair in a capped bucket still meets in
+#: one of its other n_bands-1 buckets (pinned ≥ 0.99 by pytest) — while
+#: the cap bounds the worst-case m²/2 pair blowup of a boilerplate bucket
+#: (the stress corpus in tests/test_datapipeline.py shows the blowup the
+#: cap exists to stop).
+DEFAULT_MAX_BUCKET_SIZE = 200
 
 
 # --------------------------------------------------------------------------
@@ -467,9 +481,11 @@ def connected_components(
     raises under ANSI) and None == None exited after one round,
     under-merging; huge numeric ids could also overflow the ANSI sum. The
     diff check works for any orderable id type. ``max_iter`` bounds
-    pathological chain-shaped graphs (at 100 TB you'd switch to the
-    large-star/small-star variant for those; near-dup graphs don't produce
-    them)."""
+    pathological chain-shaped graphs — for those (long drift series where
+    each doc is near-dup only of its neighbor) use
+    ``connected_components_star``, the large-star/small-star variant that
+    converges in ~log₂(chain) rounds; near-dup graphs are usually dense
+    enough (diameter 1-3) that plain propagation wins on constant factors."""
     edges = _persist(
         pairs.select(F.col("id_a").alias("_u"), F.col("id_b").alias("_v"))
         .union(pairs.select(F.col("id_b").alias("_u"), F.col("id_a").alias("_v")))
@@ -500,6 +516,123 @@ def connected_components(
         F.col("_id").alias(id_col), F.col("_lab").alias("component_id")
     )
     return out
+
+
+def connected_components_star(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    max_iter: int = 50, stats: dict | None = None,
+) -> DataFrame:
+    """(doc_id, component_id): connected components via ALTERNATING
+    LARGE-STAR / SMALL-STAR (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — the chain-safe variant of
+    ``connected_components``. Same output contract: component_id = min doc
+    id in the component, singletons label themselves.
+
+    Why it exists: plain min-label propagation converges in O(component
+    DIAMETER) rounds — fine for near-dup clusters (diameter 1-3) but O(n)
+    on a chain-shaped component (pairwise-similar drift series, where each
+    doc is within threshold of its neighbor only). Star contraction
+    restructures the graph itself each round — large-star hooks every
+    node's larger neighbors directly onto the minimum of its neighborhood,
+    small-star flattens the smaller neighbors — so path lengths collapse
+    geometrically: O(log² n) rounds worst-case, ~log₂(chain length)
+    observed (pinned by tests/test_datapipeline.py on a 200-node chain).
+
+    Each round is two bounded shuffle stages (a groupBy-min keyed on the
+    node + an equi-join on the same key — AQE-handled, no cross join, no
+    window), and edges stay in canonical (u > v) form throughout. The
+    per-round edge set is ``localCheckpoint``-ed (eager): unlike persist(),
+    checkpointing TRUNCATES the logical plan, which is load-bearing for
+    this algorithm — the edge expression references the previous round's
+    ~5 times, so without truncation Catalyst re-analyzes a plan tree that
+    grows ~5^rounds and the driver, not the cluster, becomes the
+    bottleneck. (The propagation variant gets away with persist() because
+    its per-round fan-out is 2 and its round count small.) Checkpoint
+    blocks are executor-local storage, dereferenced each round and
+    reclaimed by the ContextCleaner; on a real cluster with flaky
+    executors you'd point this at reliable checkpoint storage instead.
+    Convergence = the edge set reached a fixed point (stars), checked by
+    two left-anti existence probes over the two checkpointed sets that
+    short-circuit at the first differing edge. ``stats``, if given,
+    receives ``{"rounds": n_rounds_run}`` so callers/tests can assert the
+    round bound."""
+    e = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"),
+            F.least("id_a", "id_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def sym(edges: DataFrame) -> DataFrame:
+        return edges.select(F.col("u").alias("x"), F.col("v").alias("nbr")).union(
+            edges.select(F.col("v").alias("x"), F.col("u").alias("nbr"))
+        )
+
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # LARGE-STAR: every node x computes m = min(neighborhood(x) ∪ {x})
+        # and hooks each STRICTLY LARGER neighbor onto m.
+        s = sym(e)
+        mins = (
+            s.groupBy("x")
+            .agg(F.min("nbr").alias("_mn"))
+            .select("x", F.least("x", "_mn").alias("m"))
+        )
+        large = (
+            s.join(mins, "x")
+            .filter(F.col("nbr") > F.col("x"))
+            .select(F.col("nbr").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()  # feeds small-star's sym twice
+        )
+        # SMALL-STAR: every node x hooks itself and all of its SMALLER
+        # neighbors onto the minimum of those smaller neighbors.
+        s2 = sym(large).filter(F.col("nbr") < F.col("x"))
+        mins2 = s2.groupBy("x").agg(F.min("nbr").alias("m"))
+        new_e = (
+            s2.join(mins2, "x")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("x").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("nbr").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("_e")
+            )
+            .select("_e.u", "_e.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixed point iff edge sets are equal — two short-circuiting
+        # existence probes (both sides checkpointed, canonical (u>v) form)
+        changed = (
+            new_e.join(e, ["u", "v"], "left_anti").limit(1).count()
+            + e.join(new_e, ["u", "v"], "left_anti").limit(1).count()
+        )
+        e = new_e
+        if changed == 0:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    # at the fixed point every edge is (node, component_min); centers and
+    # singletons appear only on the v side / not at all → label themselves
+    parents = e.groupBy(F.col("u").alias(id_col)).agg(
+        F.min("v").alias("_parent")
+    )
+    return (
+        docs.select(id_col)
+        .join(parents, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_parent"), F.col(id_col)).alias("component_id"),
+        )
+    )
 
 
 def dedup_near(
