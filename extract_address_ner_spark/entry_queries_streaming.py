@@ -18,6 +18,10 @@ and returns rows an ANSI-SQL oracle pins exactly.
 - ``streaming_windowed_counts``: watermarked 1-hour windows over events in
   APPEND mode — only windows the final watermark (max ts − 30 min) closed
   are emitted; the oracle reproduces the cutoff rule in SQL.
+- ``streaming_stateful_totals`` / ``streaming_stateful_multibatch``: the
+  applyInPandasWithState operator over one batch (per-batch emission) and
+  over TWO batches (state carrying across micro-batches — the final
+  per-repo maxima are SQL-expressible).
 """
 
 from __future__ import annotations
@@ -37,6 +41,29 @@ MENTION_COLS = [
     "repo", "path", "commit", "mention_text", "m_start", "m_end",
     "confidence", "content_sha256", "doc_id",
 ]
+
+
+#: hard cap on rows these HARNESS queries may pull to the driver. The
+#: production streaming operators write to sinks; re-materializing through
+#: the driver is a harness-only idiom (the sink's temp dir vanishes before
+#: the round driver collects), bounded at driver-check scale. If anything
+#: ever runs these at a scale where the cap trips, the loud failure is the
+#: point — the fix is a persisted temp table, not raising the cap.
+HARNESS_MAX_ROWS = 100_000
+
+
+def _bounded_rows(out: DataFrame) -> DataFrame:
+    """Materialize a sink read-back as a driver-local DataFrame, failing
+    loudly instead of silently becoming a driver-memory bomb (VERDICT r03
+    #8)."""
+    rows = out.limit(HARNESS_MAX_ROWS + 1).collect()
+    if len(rows) > HARNESS_MAX_ROWS:
+        raise RuntimeError(
+            f"streaming harness read-back exceeds {HARNESS_MAX_ROWS} rows — "
+            "this collect() is a driver-check-scale idiom; stage through a "
+            "persisted temp table for larger runs"
+        )
+    return out.sparkSession.createDataFrame(rows, out.schema)
 
 
 def _drain(stream_df: DataFrame, out_dir: str, ckpt_dir: str) -> None:
@@ -70,9 +97,8 @@ def q_streaming_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
         mentions = S.stream_extract_mentions(stream)
         _drain(mentions, f"{work}/out", f"{work}/ckpt")
         out = spark.read.parquet(f"{work}/out").select(*MENTION_COLS)
-        # materialize before the temp dir vanishes (driver collects later)
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # materialize (bounded) before the temp dir vanishes
+        return _bounded_rows(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -94,10 +120,16 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         docs = dup_documents(spark, sf_dir).withColumn(
             "ts",
-            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-            + F.make_dt_interval(
-                F.lit(0), F.lit(0), F.lit(0), (F.col("doc_id") % 300)
-            ),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_dt_interval(
+                    F.lit(0), F.lit(0), F.lit(0), (F.col("doc_id") % 300)
+                )
+            # write NTZ so the read-back schema below is a plain match, not
+            # an engine/config-sensitive LTZ→NTZ reinterpretation (ADVICE
+            # r03 — harmless under the pinned UTC session tz, fragile
+            # otherwise)
+            ).cast("timestamp_ntz"),
         )
         in_dir = f"{work}/ingest"
         docs.coalesce(1).write.parquet(in_dir)
@@ -108,8 +140,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped = S.stream_dedup_exact(stream, ts_col="ts", text_col="text")
         _drain(deduped, f"{work}/out", f"{work}/ckpt")
         out = spark.read.parquet(f"{work}/out").select("content_sha256").distinct()
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _bounded_rows(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -158,8 +189,59 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT repo, batch_mentions, total_mentions, updates "
             "FROM stateful_totals_driver"
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _bounded_rows(out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_STATEFUL_MULTI_ORACLE = """
+WITH m AS ({gold})
+SELECT repo, CAST(count(*) AS BIGINT) AS total_mentions,
+  CAST(count(DISTINCT doc_id % 2) AS BIGINT) AS updates
+FROM m GROUP BY repo"""
+
+
+@register(
+    "streaming_stateful_multibatch",
+    _STATEFUL_MULTI_ORACLE.format(gold=C.gold_mentions_sql(sha256_fn=DUCK_SHA)),
+)
+def q_streaming_stateful_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-BATCH state accumulation driven through the driver harness
+    (VERDICT r03 #5): the corpus lands as TWO parquet drops (doc_id
+    parity); maxFilesPerTrigger=1 makes the availableNow drain exactly two
+    micro-batches, so the GroupState genuinely CARRIES between batches —
+    the reason applyInPandasWithState exists. The update-mode memory sink
+    accumulates one row per (batch, repo-with-mentions); taking the
+    per-repo maxima (both counters are monotone) yields the FINAL state,
+    which is exactly SQL-expressible and batch-order-independent:
+    total_mentions = the repo's gold mention count, updates = how many of
+    the two parity drops contained a mention for that repo."""
+    from .streaming.stateful import running_repo_totals
+
+    work = tempfile.mkdtemp(prefix="stream_state_mb_")
+    try:
+        corpus = C.corpus_from_documents(spark, sf_dir)
+        in_dir = f"{work}/ingest"
+        for part in range(2):  # two drops → two micro-batches
+            corpus.filter(F.col("doc_id") % 2 == part).coalesce(1) \
+                .write.mode("append").parquet(in_dir)
+        stream = S.read_corpus_stream(spark, in_dir, max_files_per_trigger=1)
+        totals = running_repo_totals(S.stream_extract_mentions(stream))
+        q = (
+            totals.writeStream.format("memory")
+            .queryName("stateful_multibatch_driver")
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.sql(
+            "SELECT repo, max(total_mentions) AS total_mentions, "
+            "max(updates) AS updates "
+            "FROM stateful_multibatch_driver GROUP BY repo"
+        )
+        return _bounded_rows(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -199,7 +281,6 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "win_start", "win_end", "event_type", "n_events",
             F.col("sum_value").cast("double").alias("sum_value"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _bounded_rows(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)

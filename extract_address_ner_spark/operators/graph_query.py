@@ -15,6 +15,17 @@ located_in side (bounded by the admin-region dictionary times the address
 vocabulary — a dimension, not a fact). The per-repo top-k ranks run on
 pre-aggregated (repo, address) counts — the window input is bounded by
 |repos| × |address vocabulary|, not by corpus rows.
+
+Caching contract (same as operators/dedup.py): ``degree_distribution`` and
+``region_rollup`` consume their ``edges`` input in 2-3 branches, so they
+persist() it — otherwise an unmaterialized upstream pipeline would run
+per branch. The persist is MEMORY_AND_DISK, LRU-evictable, and
+SCOPE-REGISTERED: the blocks outlive the call (the returned DataFrame is
+lazy, so the operator cannot know when unpersisting is safe), and a
+long-lived session issuing many graph reads should either wrap
+materialization in ``dedup.dedup_cache_scope()`` or call
+``spark.catalog.clearCache()`` between workloads (bench.py and the
+``--bucketed-edges`` job path do the latter).
 """
 
 from __future__ import annotations
