@@ -176,8 +176,17 @@ kg(corpus.limit(20000)).count()  # warm-up (codegen/JIT), not timed
 # trial is ever clean, report the best contaminated time WITH
 # contended=true so the caller can flag it instead of headlining it.
 from scripts.hostbw import BusMonitor, copy_gbps, wait_for_bw
+# A trial is clean iff the bracketing probes read >= CLEAN *and* the
+# in-trial minimum rate never fell below DURING_FLOOR. The endpoint probes
+# are blind to a storm that arrives and leaves INSIDE the trial (observed:
+# a 24 s run — 8x the quiet time — with 3.3/3.1 GB/s endpoints); the
+# in-trial floor catches it. The floor is far below the endpoint bar
+# because our own 32-thread job legitimately depresses the probe (own-load
+# readings measured 0.3-2.8); only the catastrophic co-tenant state reads
+# 0.1-0.2.
+DURING_FLOOR = 0.25
 best, best_clean, n = None, None, 0
-during_at_best = None
+during_at_best, during_at_clean = None, None
 bw_at_best, bw_at_clean = (0.0, 0.0), (0.0, 0.0)
 for trial in range(6):
     if trial >= 3 and best_clean is not None:
@@ -195,19 +204,19 @@ for trial in range(6):
     time.sleep(1.0)  # let our own JVM's post-stage GC churn settle so the
     # post probe reads HOST pressure, not our wind-down
     bw_post = copy_gbps()
+    during = mon.min_rate
     if best is None or dt < best:
-        best, bw_at_best = dt, (bw_pre, bw_post)
-        during_at_best = mon.min_rate
-    if bw_pre >= CLEAN and bw_post >= CLEAN and (
-            best_clean is None or dt < best_clean):
-        best_clean, bw_at_clean = dt, (bw_pre, bw_post)
-sec, bw = (best_clean, bw_at_clean) if best_clean is not None \
-    else (best, bw_at_best)
+        best, bw_at_best, during_at_best = dt, (bw_pre, bw_post), during
+    if (bw_pre >= CLEAN and bw_post >= CLEAN
+            and (during is None or during >= DURING_FLOOR)
+            and (best_clean is None or dt < best_clean)):
+        best_clean, bw_at_clean, during_at_clean = dt, (bw_pre, bw_post), during
+sec, bw, during = (best_clean, bw_at_clean, during_at_clean) \
+    if best_clean is not None else (best, bw_at_best, during_at_best)
 print(json.dumps({{"n_triples": n, "sec": round(sec, 3),
                    "contended": best_clean is None,
-                   "bw_during_min": round(during_at_best, 1)
-                   if best_clean is None and during_at_best is not None
-                   else None,
+                   "bw_during_min": round(during, 1)
+                   if during is not None else None,
                    "bw_gbps": [round(bw[0], 1), round(bw[1], 1)]}}))
 spark.stop()
 import shutil
@@ -261,27 +270,42 @@ def main() -> None:
     def _run_trials(name: str, n_trials: int, rec: dict) -> None:
         """Run n_trials timed trials of query `name`, updating rec's
         best / best_clean (+ the bus rates at each). A trial is clean iff
-        both bracketing single-sample probes read >= BW_CLEAN_GBPS."""
+        both bracketing single-sample probes read >= BW_CLEAN_GBPS.
+
+        The timed window starts BEFORE the query callable runs (round 4):
+        iterative operators (connected_components inside dedup_near_keep)
+        do their convergence loop EAGERLY at construction time, so timing
+        only the final materialization would silently exclude exactly the
+        per-round shuffles the headline entry exists to track. For plain
+        lazy queries the construction cost inside the window is sub-ms
+        plan building."""
         for _ in range(n_trials):
             # operators persist() shared subplans (e.g. LSH bands for the
             # self-join); CacheManager would hand the NEXT run those blocks
             # by plan identity, so the timed run would skip the real work
             spark.catalog.clearCache()
-            df = qmap[name](spark, sf_dir)
             bw_pre = copy_gbps(samples=1)
             t0 = time.monotonic()
             with BusMonitor() as mon:  # diagnostic mid-trial sampling —
                 # endpoint probes can miss a storm arriving mid-trial
-                _materialize(df)
+                _materialize(qmap[name](spark, sf_dir))
             dt = time.monotonic() - t0
             time.sleep(0.5)  # let our own JVM's post-stage GC churn settle
             # so the post probe reads HOST pressure, not our wind-down
             bw_post = copy_gbps(samples=1)
+            during = mon.min_rate
             if rec["best"] is None or dt < rec["best"]:
                 rec["best"], rec["bw"] = dt, (bw_pre, bw_post)
-                rec["bw_during_min"] = mon.min_rate
-            if bw_pre >= BW_CLEAN_GBPS and bw_post >= BW_CLEAN_GBPS and (
-                    rec["best_clean"] is None or dt < rec["best_clean"]):
+                rec["bw_during_min"] = during
+            # clean = endpoint probes >= bar AND the in-trial minimum never
+            # hit the catastrophic floor — endpoint probes are blind to a
+            # storm that arrives and leaves INSIDE the trial (same rule as
+            # the kg subprocess runner; 0.25 is far below the bar because
+            # our own job legitimately depresses the in-trial probe)
+            if (bw_pre >= BW_CLEAN_GBPS and bw_post >= BW_CLEAN_GBPS
+                    and (during is None or during >= 0.25)
+                    and (rec["best_clean"] is None
+                         or dt < rec["best_clean"])):
                 rec["best_clean"], rec["bw_clean"] = dt, (bw_pre, bw_post)
 
     recs: dict[str, dict] = {}

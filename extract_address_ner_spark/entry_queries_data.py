@@ -601,6 +601,42 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         refine=1)
 
 
+@register("ann_ivf_indexed_topk", None)  # oracle attached below (shared)
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED-index serving path (round 4): build the
+    cluster-partitioned IVF index on disk once (``write_ivf_index``), then
+    answer the same queries from it with PARTITION-PRUNED probe scans
+    (``ivf_topk_from_index``) — only the probed cluster directories are
+    read. Same (n_centroids=32, refine=1, nprobe=6) as ``ann_ivf_topk``
+    and the SAME oracle SQL verbatim: the index is a physical layout, not
+    a semantic change, and the driver pins exactly that."""
+    import shutil
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    work = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        ann.write_ivf_index(emb, work, n_centroids=32, refine=1)
+        out = ann.ivf_topk_from_index(spark, work, queries, k=10, nprobe=6)
+        rows = out.collect()  # materialize before the temp index vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _attach_shared_ivf_oracle() -> None:
+    from .entry_queries import _REGISTRY
+
+    _REGISTRY["ann_ivf_indexed_topk"] = (
+        _REGISTRY["ann_ivf_indexed_topk"][0],
+        _REGISTRY["ann_ivf_topk"][1],
+    )
+
+
+_attach_shared_ivf_oracle()
+
+
 # --------------------------------------------------------------------------
 # events: windowed aggregation + ordered retrieval (reference S6/R5)
 # --------------------------------------------------------------------------

@@ -25,6 +25,14 @@
   cluster-partitioned table and probes become partition-pruned scans; the
   centroid broadcast is O(n_centroids · dim) — bounded by a parameter, not
   the data.
+
+- ``write_ivf_index`` / ``ivf_topk_from_index``: that 100 TB serving shape
+  made concrete — the index build writes the corpus cluster-partitioned
+  (one shuffle, once) and query-time probes are PARTITION-PRUNED scans
+  reading only the probed cluster directories (PartitionFilters pinned by
+  tests/test_plans.py; result identity with ``ivf_topk`` pinned by
+  tests/test_datapipeline.py and the ``ann_ivf_indexed_topk`` driver
+  query, which shares ``ann_ivf_topk``'s oracle verbatim).
 """
 
 from __future__ import annotations
@@ -236,6 +244,121 @@ def ivf_topk(
         .select("q_id", "_qv", F.col("centroid_id").alias("cluster_id"))
     )
     cand = F.broadcast(qs).join(corpus, "cluster_id").filter(
+        F.col("q_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(F.expr(cosine_sim_expr("_qv", "_cv")), 4).cast("double"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    index_dir: str,
+    n_centroids: int = 32,
+    nprobe_hint: int = 3,
+    seed: int = 42,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index on disk — the 100 TB serving shape the
+    in-session ``ivf_topk`` docstring promises: the corpus is written ONCE
+    as a ``cluster_id``-PARTITIONED parquet table (one directory per
+    cluster), plus the (tiny) centroid table beside it. Query-time probes
+    then become PARTITION-PRUNED scans: a query probing ``nprobe``
+    clusters reads exactly those nprobe directories — I/O proportional to
+    the probed fraction, not the corpus (``ivf_topk_from_index``; plan
+    pinned by tests/test_plans.py — PartitionFilters on cluster_id,
+    nprobe-of-k partitions scanned).
+
+    Layout: ``<index_dir>/vectors/cluster_id=<c>/...`` and
+    ``<index_dir>/centroids/``. The assignment shuffle (repartition on
+    cluster_id before the partitioned write) is one-time index-build cost
+    and keeps each partition directory to one file per cluster instead of
+    one per (write task × cluster) — the same small-files discipline as
+    ``link.write_edges_bucketed``. ``nprobe_hint`` is stored nowhere; it
+    only documents the intended probe width for sizing n_centroids."""
+    cents = seed_centroids(emb, n_centroids, seed, id_col, vec_col)
+    if refine:
+        cents = refine_centroids(emb, cents, refine, id_col, vec_col)
+    assign = ivf_assign(emb, cents, id_col, vec_col)
+    (
+        emb.select(id_col, vec_col)
+        .join(assign, id_col)
+        .repartition(F.col("cluster_id"))
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{index_dir}/vectors")
+    )
+    cents.select(
+        "centroid_id", F.col("_ctv").alias("centroid_vec")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def ivf_topk_from_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve approximate top-k from a materialized IVF index
+    (``write_ivf_index``). Identical math and output schema to
+    ``ivf_topk`` at the same (n_centroids, nprobe, refine) — the
+    difference is purely physical: the probe filter
+    (``cluster_id IN (...probed...)``) lands in the scan's
+    PartitionFilters, so Spark lists and reads ONLY the probed cluster
+    directories. At 100 TB that is the difference between scanning the
+    corpus per query batch and scanning nprobe/n_centroids of it.
+
+    The probed cluster set is collected to the driver (|queries| × nprobe
+    ids — query batches are small by definition) so the IN-list is a
+    literal partition predicate; keeping it as a join would shuffle or
+    broadcast but could NOT partition-prune a static literal-less scan."""
+    cents = spark.read.parquet(f"{index_dir}/centroids").select(
+        "centroid_id", F.col("centroid_vec").alias("_ctv")
+    )
+    qs = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_sim",
+            F.round(F.expr(cosine_sim_expr("_ctv", "_qv")), 4).cast("double"),
+        )
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("_sim"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_pr") <= nprobe)
+        .select("q_id", "_qv", F.col("centroid_id").alias("cluster_id"))
+    )
+    # qs is |queries| x nprobe rows over a broadcast centroid table — cheap
+    # enough to evaluate twice (collect + join side); persisting it here
+    # would leak a cached block past the call (dedup.py caching contract)
+    probed = sorted({r["cluster_id"] for r in qs.select("cluster_id").collect()})
+    vectors = (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .filter(F.col("cluster_id").isin(probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            "cluster_id",
+        )
+    )
+    cand = F.broadcast(qs).join(vectors, "cluster_id").filter(
         F.col("q_id") != F.col("neighbor_id")
     )
     scored = cand.withColumn(

@@ -638,7 +638,7 @@ def connected_components_star(
 def dedup_near(
     docs: DataFrame, pairs: DataFrame | None = None,
     text_col: str = "text", id_col: str = "doc_id",
-    threshold: float = 0.8,
+    threshold: float = 0.8, algorithm: str = "propagation",
 ) -> DataFrame:
     """END-TO-END near-dedup: keep exactly one representative (the min-id
     keeper) per near-duplicate component. Composes the full production
@@ -646,11 +646,20 @@ def dedup_near(
     components → keeper semi-join — as one operator; ``pairs`` lets a
     caller substitute any pair generator (SimHash, embedding cosine).
     The semi-join back to the corpus is keyed on the id (broadcast-able
-    keeper side when duplicates are sparse)."""
+    keeper side when duplicates are sparse).
+
+    ``algorithm``: ``"propagation"`` (min-label — O(diameter) rounds, the
+    right default for dense near-dup clusters) or ``"star"``
+    (large-star/small-star — chain-safe, ~log₂ rounds on path-shaped
+    components). Identical output either way (pytest-pinned)."""
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     if pairs is None:
         pairs = lsh_verified_pairs(docs, text_col, id_col,
                                    threshold=threshold)
-    comp = connected_components(docs, pairs, id_col)
+    cc = (connected_components if algorithm == "propagation"
+          else connected_components_star)
+    comp = cc(docs, pairs, id_col)
     keepers = comp.filter(F.col(id_col) == F.col("component_id")).select(id_col)
     return docs.join(keepers, id_col, "left_semi")
 

@@ -396,6 +396,14 @@ def test_dedup_near_keeps_one_per_component(spark, sf_smoke):
     # planted exact-copy (i, i+200000) pairs: only i survives
     for i in range(0, 500, 35):
         assert i in kept and (i + 200000) not in kept
+    # round 4: the chain-safe star variant is a drop-in — identical keepers
+    star = {r["doc_id"]
+            for r in dedup.dedup_near(docs, pairs,
+                                      algorithm="star").collect()}
+    assert star == kept
+    import pytest
+    with pytest.raises(ValueError):
+        dedup.dedup_near(docs, pairs, algorithm="bogus")
 
 
 def test_connected_components_on_planted_dups(spark, sf_smoke):
@@ -526,3 +534,27 @@ def test_lsh_bucket_cap_recall_floor(spark, sf_correct):
         assert cap_recall >= 0.99, (cap, cap_recall)
         # and vs exact Jaccard the capped set is no worse than LSH itself
         assert len(got & exact) / len(exact) >= 0.98, cap
+
+
+def test_ivf_materialized_index_matches_in_session(spark, sf_correct, tmp_path):
+    """Round-4: the on-disk cluster-partitioned IVF index must be a purely
+    PHYSICAL change — serving from it returns exactly the in-session
+    ivf_topk result at the same (n_centroids, refine, nprobe), and a
+    rebuilt index serves identically (deterministic build)."""
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    in_session = sorted(
+        map(tuple, ann.ivf_topk(emb, queries, k=10, n_centroids=32,
+                                nprobe=6, refine=1).collect()))
+    idx = str(tmp_path / "ivf1")
+    ann.write_ivf_index(emb, idx, n_centroids=32, refine=1)
+    served = sorted(
+        map(tuple, ann.ivf_topk_from_index(spark, idx, queries, k=10,
+                                           nprobe=6).collect()))
+    assert served == in_session
+    idx2 = str(tmp_path / "ivf2")
+    ann.write_ivf_index(emb, idx2, n_centroids=32, refine=1)
+    served2 = sorted(
+        map(tuple, ann.ivf_topk_from_index(spark, idx2, queries, k=10,
+                                           nprobe=6).collect()))
+    assert served2 == served

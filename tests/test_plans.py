@@ -148,3 +148,45 @@ def test_bucketed_edges_aggregate_is_shuffle_free(spark, sf_smoke, tmp_path):
     assert sorted(map(tuple, agg.collect())) == sorted(
         map(tuple, direct.collect()))
     spark.sql("DROP TABLE kg_edges_bucketed_test")
+
+
+def test_ivf_index_probe_scan_is_partition_pruned(spark, sf_smoke, tmp_path):
+    """Round-4 serving shape: a probe against the materialized IVF index
+    must push the probed-cluster predicate into the scan's
+    PartitionFilters (static literal IN-list → pruning at planning time),
+    and the pruned scan must touch only the probed cluster directories —
+    nprobe of n_centroids — never the full index."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    ann.write_ivf_index(emb, idx, n_centroids=16)
+    served = ann.ivf_topk_from_index(spark, idx, emb.filter("vec_id < 3"),
+                                     k=5, nprobe=2)
+    plan = _plan(served)
+    # the IN-list lands in PartitionFilters with the attribute id baked in
+    # (e.g. "PartitionFilters: [cluster_id#71 IN (9,14)") — match the
+    # pruning site, not a bare substring the #id would break
+    import re
+    assert re.search(r"PartitionFilters: \[cluster_id#\d+ IN \(", plan), plan
+    # ground truth on the filesystem: exactly one parquet dir per cluster
+    # (small-files discipline), and a probed read lists only probed dirs
+    import os
+    dirs = [d for d in os.listdir(f"{idx}/vectors")
+            if d.startswith("cluster_id=")]
+    assert len(dirs) == 16
+    one = int(dirs[0].split("=")[1])
+    pruned = spark.read.parquet(f"{idx}/vectors").filter(
+        F.col("cluster_id") == one)
+    assert pruned.collect()  # execute THIS df so its scan metrics populate
+    # ground truth from the executed scan node itself: 1 of 16 cluster
+    # directories actually read. (inputFiles() is no evidence — it lists
+    # the whole relation, ignoring partition pruning.)
+    leaves = pruned._jdf.queryExecution().executedPlan().collectLeaves()
+    nums = {}
+    for i in range(leaves.size()):
+        it = leaves.apply(i).metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            nums[kv._1()] = kv._2().value()
+    assert nums.get("numFiles") == 1 and nums.get("numPartitions") == 1, nums
