@@ -54,3 +54,46 @@ def test_job_entry_local_cluster(tmp_path):
     GC — the same master the 367k-triples/s bench leg uses."""
     stdout = _run_job(tmp_path, ["--local-cluster", "2,2"])
     assert "master=local-cluster[2,2," in stdout
+
+
+def test_job_entry_spark_submit_py_files(tmp_path):
+    """The north-rule deployment mode VERBATIM: ``spark-submit --py-files
+    deps.zip jobs/run_pipeline.py``, with the package importable ONLY from
+    the zip — the job script is copied into an empty directory, so its own
+    repo-relative sys.path fallback finds nothing and every
+    extract_address_ner_spark import must resolve through the shipped
+    archive, exactly as on a real cluster."""
+    import os
+    import shutil
+    import zipfile
+
+    import pyspark
+
+    deps = tmp_path / "deps.zip"
+    pkg = REPO / "extract_address_ner_spark"
+    with zipfile.ZipFile(deps, "w") as z:
+        for p in pkg.rglob("*.py"):
+            z.write(p, p.relative_to(REPO))
+    job = tmp_path / "run_pipeline.py"
+    shutil.copy(REPO / "jobs" / "run_pipeline.py", job)
+    # the pip wheel's own spark-submit — guaranteed version-matched to the
+    # pyspark running these tests (a system /opt/spark may not be)
+    submit = str(Path(pyspark.__file__).parent / "bin" / "spark-submit")
+    out = subprocess.run(
+        [submit, "--master", "local[2]", "--py-files", str(deps), str(job),
+         "--synthesize", "2000", "--warehouse", str(tmp_path / "wh"),
+         "--run-id", "pyfiles"],
+        capture_output=True, text=True, timeout=420,
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+             "JAVA_HOME": _java_home(),
+             "PYSPARK_PYTHON": sys.executable,
+             "PYSPARK_DRIVER_PYTHON": sys.executable,
+             "SPARK_GRAFT_DRIVER_MEM": "4g"},
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-3000:])
+    assert "sha256 invariant: OK" in out.stdout
+    assert "edges/s" in out.stdout
+    # paranoia: the job really could not have imported from the repo tree
+    assert str(REPO) not in str(job)
+    assert os.path.isdir(tmp_path / "wh")
