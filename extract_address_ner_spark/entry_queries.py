@@ -513,6 +513,45 @@ def q_graph_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region_rollup(_built_edges(spark, sf_dir))
 
 
+def gold_pagerank_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank unrolled into one CTE per iteration —
+    iteration k computes pr(v) = (1-d)/N + d·Σ pr_{k-1}(u)/outdeg(u) over
+    the distinct (subj, obj) pairs; dangling mass is dropped on both
+    engines (the operator docstring pins that choice)."""
+    iters = ""
+    prev = "pr0"
+    for k in range(1, iterations + 1):
+        iters += f""",
+pr{k} AS (
+  SELECT no.node,
+    (1 - {damping})/(SELECT n FROM nn)
+      + {damping} * coalesce(sum(p.pr / od.deg), 0) AS pr
+  FROM nodes no
+  LEFT JOIN ed ON ed.v = no.node
+  LEFT JOIN {prev} p ON p.node = ed.u
+  LEFT JOIN od ON od.u = ed.u
+  GROUP BY no.node)"""
+        prev = f"pr{k}"
+    return f"""
+WITH _edges AS ({gold_edges_sql()}),
+ed AS (SELECT DISTINCT subj AS u, obj AS v FROM _edges),
+nodes AS (SELECT u AS node FROM ed UNION SELECT v FROM ed),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM ed GROUP BY u),
+pr0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS pr FROM nodes){iters}
+SELECT node, CAST(round(pr, 6) AS DOUBLE) AS pagerank FROM {prev}"""
+
+
+@register("graph_pagerank", gold_pagerank_sql())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-analytics over the built KG: 3-iteration PageRank (damping
+    0.85) — one rank-join + dst-aggregation shuffle per iteration, nothing
+    driver-side but the node count (operators/graph_query.pagerank)."""
+    from .operators.graph_query import pagerank
+
+    return pagerank(_built_edges(spark, sf_dir), iterations=3)
+
+
 # cross-engine edge checksum term: md5-bridge of 'subj|pred|obj', reduced
 # mod M31 so the sum over all edges stays in BIGINT range under ANSI mode
 _EDGE_CK_SPARK = (

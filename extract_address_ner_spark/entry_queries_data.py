@@ -474,6 +474,52 @@ def q_emb_dupes_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs_ivf(dup_embeddings(spark, sf_dir))
 
 
+@register(
+    "dedup_near_semantic",
+    f"""
+WITH RECURSIVE dup AS ({DUP_EMB_DUCK}),
+e AS (SELECT vec_id, embedding AS v FROM dup),
+{_D_CENTS},
+sc AS (SELECT e.vec_id, centroid_id,
+  CAST(round(list_cosine_similarity(cv, v), 4) AS DOUBLE) AS s
+  FROM e CROSS JOIN cents),
+assign AS (SELECT vec_id, centroid_id AS cluster_id FROM
+  (SELECT *, row_number() OVER
+     (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS r FROM sc)
+  WHERE r = 1),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM dup a
+  JOIN assign aa ON aa.vec_id = a.vec_id
+  JOIN assign ab ON ab.cluster_id = aa.cluster_id
+  JOIN dup b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id
+  WHERE round({_D_COS}, 4) >= 0.95),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+reach AS (
+  SELECT vec_id AS src, vec_id AS dst FROM dup
+  UNION
+  SELECT r.src, eg.v AS dst FROM reach r JOIN edges eg ON eg.u = r.dst
+),
+comp AS (SELECT src AS vec_id, min(dst) AS component_id
+         FROM reach GROUP BY src)
+SELECT vec_id FROM comp WHERE component_id = vec_id""",
+)
+def q_dedup_near_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC near-dedup end-to-end (round 4): the embedding-cosine
+    IVF-bucketed pair generator plugged into the SAME keeper-collapse
+    chain the text path uses — ``dedup_near(docs, pairs=...)`` was built
+    for exactly this substitution (components → min-id keeper semi-join,
+    keyed on vec_id). The oracle rebuilds the IVF pair graph in SQL and
+    walks it with the same recursive-CTE reachability the text components
+    oracle uses. This is the production embedding-dedup shape at 100 TB:
+    pair generation is cluster-bucketed (never all-pairs), the collapse is
+    the shared bounded-round components operator."""
+    docs = dup_embeddings(spark, sf_dir)
+    pairs = dedup.embedding_dup_pairs_ivf(docs)
+    kept = dedup.dedup_near(docs, pairs=pairs, id_col="vec_id")
+    return kept.select("vec_id")
+
+
 # --------------------------------------------------------------------------
 # ANN similarity search
 # --------------------------------------------------------------------------

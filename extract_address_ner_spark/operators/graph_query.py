@@ -124,3 +124,77 @@ def region_rollup(edges: DataFrame) -> DataFrame:
         .join(F.broadcast(backbone), "region_id", "left")
         .select("region_id", "parent_region_id", "n_files", "n_addresses")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+) -> DataFrame:
+    """Fixed-iteration PageRank over the KG edge table (round 4) —
+    (node, pagerank) after exactly ``iterations`` rounds of
+
+        pr(v) = (1 - d)/N + d * Σ_{u→v} pr(u) / outdeg(u)
+
+    over the DISTINCT (src, dst) pairs (the multigraph's parallel edges —
+    one per predicate — would otherwise double-count influence). Dangling
+    nodes (no out-edges) keep receiving rank but redistribute none; their
+    mass is dropped, the common simplified formulation, and the ORACLE
+    mirrors it exactly, so the semantics are pinned rather than implied.
+
+    Scale shape: each iteration is one shuffle-join of the edge list with
+    the current rank vector (keyed on src) plus one aggregation keyed on
+    dst — the irreducible PageRank pattern. Ranks and degrees are O(nodes),
+    edges O(edges); nothing is collected to the driver except the single
+    node COUNT for the teleport constant. Fixed iteration count (not a
+    convergence probe) keeps the whole computation ONE lazy plan — no
+    per-round action — so the edge list and node set are persisted (the
+    final action references each several times across iterations) under
+    the module's scope-registered caching contract (see module docstring);
+    per-round rank persists are markers the single materialization fills.
+    Output is rounded to 6dp — the per-engine float-summation-order noise
+    is ~1e-16 relative, far below the rounding grain, which is what makes
+    the result exactly oracle-comparable."""
+    ed = _persist(
+        edges.select(
+            F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+        ).distinct()
+    )
+    nodes = _persist(
+        ed.select(F.col("_u").alias("node"))
+        .union(ed.select(F.col("_v").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # one driver scalar: the teleport constant's N
+    outdeg = ed.groupBy("_u").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = _persist(nodes.withColumn("_pr", F.lit(1.0 / n)))
+    teleport = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed["_u"] == ranks["node"])
+            .join(outdeg, "_u")
+            .select(
+                F.col("_v").alias("node"),
+                (F.col("_pr") / F.col("_deg")).alias("_c"),
+            )
+        )
+        new_ranks = _persist(
+            nodes.join(
+                contrib.groupBy("node").agg(F.sum("_c").alias("_s")),
+                "node",
+                "left",
+            ).select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+                ).alias("_pr"),
+            )
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks.select(
+        "node", F.round("_pr", 6).cast("double").alias("pagerank")
+    )

@@ -558,3 +558,23 @@ def test_ivf_materialized_index_matches_in_session(spark, sf_correct, tmp_path):
         map(tuple, ann.ivf_topk_from_index(spark, idx2, queries, k=10,
                                            nprobe=6).collect()))
     assert served2 == served
+
+
+def test_dedup_near_semantic_collapses_planted_embedding_dups(spark, sf_smoke):
+    """Round-4 semantic dedup end-to-end: exact embedding copies (i,
+    i+100000 for i % 5 == 0) must collapse to the min-id keeper when the
+    IVF-bucketed cosine pairs feed dedup_near; copies land in the SAME IVF
+    cluster by construction (identical vectors assign identically), so
+    bucketing can never separate an exact-dup pair."""
+    from extract_address_ner_spark.entry_queries_data import dup_embeddings
+
+    docs = dup_embeddings(spark, sf_smoke)
+    pairs = dedup.embedding_dup_pairs_ivf(docs)
+    kept = {r["vec_id"]
+            for r in dedup.dedup_near(docs, pairs=pairs,
+                                      id_col="vec_id").collect()}
+    planted = [r["vec_id"] for r in docs.filter(
+        "vec_id % 5 = 0 AND vec_id < 100000").collect()]
+    assert planted, "fixture lost its planted dups"
+    for i in planted:
+        assert i in kept and (i + 100000) not in kept, i

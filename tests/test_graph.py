@@ -223,3 +223,39 @@ def test_validate_divergence_pinned(spark):
     for mention, valid, passes_gate in cases:
         assert verdicts[mention] is valid, mention
         assert (mention in gated) is passes_gate, mention
+
+
+def test_pagerank_matches_reference_implementation(spark):
+    """pagerank (round 4) against an independent driver-side reference on a
+    small fixed graph: same fixed-iteration, dangling-mass-dropped
+    semantics, exact to the 6dp output rounding. The graph mixes a hub, a
+    chain, a dangling sink, and a parallel-predicate duplicate edge (which
+    must NOT double-count — the operator works on distinct (src, dst))."""
+    rows = [
+        ("a", "p1", "b"), ("a", "p2", "b"),  # parallel edge: counts once
+        ("a", "p1", "c"), ("b", "p1", "c"),
+        ("c", "p1", "d"),                     # d is dangling (no out-edges)
+        ("e", "p1", "a"),
+    ]
+    edges = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    from extract_address_ner_spark.operators.graph_query import pagerank
+
+    got = {r["node"]: r["pagerank"]
+           for r in pagerank(edges, iterations=3).collect()}
+
+    pairs = sorted({(s, o) for s, _p, o in rows})
+    nodes = sorted({n for p in pairs for n in p})
+    n, d = len(nodes), 0.85
+    outdeg = {u: sum(1 for a, _ in pairs if a == u) for u in nodes}
+    pr = {u: 1.0 / n for u in nodes}
+    for _ in range(3):
+        nxt = {}
+        for v in nodes:
+            s = sum(pr[u] / outdeg[u] for u, w in pairs if w == v)
+            nxt[v] = (1 - d) / n + d * s
+        pr = nxt
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == round(pr[v], 6), (v, got[v], pr[v])
+    # dangling mass is dropped, so total rank sums to < 1 here
+    assert sum(got.values()) < 1.0
