@@ -731,6 +731,79 @@ def q_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_asof_join",
+    """
+SELECT l.event_id, l.user_id, l.ts, l.value,
+  r.ts IS NOT NULL AS matched,
+  coalesce(r.event_id, -1) AS r_event_id,
+  coalesce(r.ts, TIMESTAMP '1970-01-01 00:00:00') AS r_ts,
+  coalesce(r.value, -1.0) AS r_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (round 4): every click gains the user's latest error AT
+    OR BEFORE the click — the "state at event time" join Spark lacks as a
+    built-in. The operator is the single-shuffle union+window formulation
+    (operators/temporal.asof_join — output exactly |left|, no per-key
+    quadratic candidate set); the oracle is DuckDB's NATIVE ASOF LEFT
+    JOIN, so the semantics are pinned against an independent first-class
+    implementation rather than a re-derivation. The unmatched-left NULLs
+    are coalesced to typed sentinels (+ an explicit ``matched`` flag) on
+    BOTH engines, so the compare is representation-stable (pandas turns a
+    nullable BIGINT into floats and NULL timestamps into NaT)."""
+    from .operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter("event_type = 'click'")
+    errors = ev.filter("event_type = 'error'")
+    out = asof_join(
+        clicks, errors, on=["user_id"],
+        right_cols=["event_id", "ts", "value"], tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("r_ts").isNotNull().alias("matched"),
+        F.coalesce("r_event_id", F.lit(-1)).alias("r_event_id"),
+        F.coalesce(
+            "r_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("r_ts"),
+        F.coalesce("r_value", F.lit(-1.0)).alias("r_value"),
+    )
+
+
+@register(
+    "events_session_windows",
+    """
+WITH o AS (SELECT user_id, ts, value,
+  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+            <= INTERVAL '10 minutes' THEN 0 ELSE 1 END AS new_s
+  FROM events),
+s AS (SELECT *, sum(new_s) OVER
+        (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id, min(ts) AS session_start,
+  max(ts) + INTERVAL '10 minutes' AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid""",
+)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (10-minute inactivity gap) via Spark's
+    native session_window (operators/temporal.session_agg — the same
+    expression runs under Structured Streaming with a watermark). The
+    oracle reproduces the gap rule with lag + cumulative-sum session ids,
+    using the INCLUSIVE <= gap merge bound — probed empirically and
+    pinned by tests/test_temporal.py: an event at EXACTLY prev + gap
+    still merges into the session."""
+    from .operators.temporal import session_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_agg(ev, keys=["user_id"], gap="10 minutes")
+
+
 # --------------------------------------------------------------------------
 # window-strategy span merge (alternative physical plan, same semantics)
 # --------------------------------------------------------------------------

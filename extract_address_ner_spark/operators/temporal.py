@@ -1,0 +1,120 @@
+"""Temporal operators Spark lacks as built-ins (round 4): AS-OF join and
+session aggregation.
+
+- ``asof_join``: for each left row, the latest right row with
+  ``right_ts <= left_ts`` in the same key group (the "state at event time"
+  join — quotes-to-trades, config-to-request, last-error-before-click).
+  Spark has no ASOF JOIN; the naive formulation (theta-join on
+  ``l.ts >= r.ts`` + row_number) is a per-key cross product — quadratic
+  OUTPUT in hot keys, exactly what kills a 100 TB run. This implementation
+  is the scalable classic instead: TAG both sides, UNION, one window sort
+  per key ordered by (ts, right-before-left), and carry the last non-null
+  right payload forward. ONE shuffle keyed on the join keys, output
+  exactly |left|, skew bounded by the biggest single key's rows (not their
+  square). DuckDB's native ASOF JOIN is the oracle for the driver query.
+
+- ``session_agg``: per-key session windows (gap-separated activity bursts)
+  via Spark's built-in ``session_window`` — kept here so batch and
+  Structured-Streaming callers share one definition; the oracle reproduces
+  the gap rule with lag + cumulative-sum session ids.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    prefix: str = "r_",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """AS-OF (backward, inclusive) join: every left row gains the payload
+    of the latest right row with ``right_ts <= left_ts`` in its ``on``
+    group, or NULLs if none precedes it (left-outer semantics, matching
+    DuckDB ``ASOF LEFT JOIN``).
+
+    Plan shape: union of the two tagged sides → ONE window sort keyed on
+    ``on`` ordered by (event time, right-rows-first at equal time, then
+    ``tiebreak``) → ``last(payload, ignorenulls)`` carry-forward → keep
+    left rows. Right rows sort BEFORE left rows at the same timestamp, so
+    equal-time matches are included (ASOF's inclusive bound). ``tiebreak``
+    (a right-side column, e.g. its id) makes the winner among right rows
+    with IDENTICAL (key, ts) deterministic; leave None only when that
+    combination is unique by construction."""
+    keys = list(on)
+    rcols = list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c not in keys
+    ]
+    payload = F.struct(*[F.col(c) for c in rcols])
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    rs = right.select(
+        *keys,
+        F.col(right_ts).alias("_ats"),
+        F.lit(1).alias("_is_right"),
+        tb.alias("_tb"),
+        payload.alias("_rp"),
+        *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
+    )
+    ls = left.select(
+        *keys,
+        F.col(left_ts).alias("_ats"),
+        F.lit(0).alias("_is_right"),
+        F.lit(None).cast(rs.schema["_tb"].dataType).alias("_tb"),
+        F.lit(None).cast(rs.schema["_rp"].dataType).alias("_rp"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc("_ats"), F.desc("_is_right"), F.asc_nulls_first("_tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = rs.unionByName(ls).withColumn(
+        "_asof", F.last("_rp", ignorenulls=True).over(w)
+    )
+    out_left = [
+        F.col(f"_l_{c}").alias(c) for c in left.columns
+    ]
+    out_right = [
+        F.col("_asof").getField(c).alias(f"{prefix}{c}") for c in rcols
+    ]
+    return carried.filter(F.col("_is_right") == 0).select(*out_left, *out_right)
+
+
+def session_agg(
+    events: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    aggs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Per-key session windows: consecutive events of a key belong to one
+    session while each is within ``gap`` of the previous; a longer silence
+    starts a new session. Built on Spark's native ``session_window`` (the
+    same expression works under Structured Streaming with a watermark —
+    state per OPEN session only). Output: keys, session_start (first event
+    ts), session_end (last event ts + gap, Spark's convention), plus
+    ``aggs`` (default: n_events, sum_value)."""
+    if aggs is None:
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+        ]
+    win = F.session_window(F.col(ts_col), gap)
+    grouped = events.groupBy(*keys, win.alias("_sw")).agg(*aggs)
+    agg_cols = [c for c in grouped.columns if c not in (*keys, "_sw")]
+    return grouped.select(
+        *keys,
+        F.col("_sw.start").alias("session_start"),
+        F.col("_sw.end").alias("session_end"),
+        *agg_cols,
+    )

@@ -190,3 +190,22 @@ def test_ivf_index_probe_scan_is_partition_pruned(spark, sf_smoke, tmp_path):
             kv = it.next()
             nums[kv._1()] = kv._2().value()
     assert nums.get("numFiles") == 1 and nums.get("numPartitions") == 1, nums
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_smoke):
+    """The as-of join's reason to exist: the naive theta-join formulation
+    has per-key quadratic candidate output; the union+window formulation
+    must plan with ZERO join operators and exactly ONE exchange (the
+    key-partitioned window sort)."""
+    from extract_address_ner_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    out = asof_join(
+        ev.filter("event_type='click'"), ev.filter("event_type='error'"),
+        on=["user_id"], right_cols=["event_id", "ts", "value"],
+        tiebreak="event_id",
+    )
+    plan = _plan(out)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan and "Union" in plan
