@@ -90,14 +90,14 @@ FROM _shaped WHERE m_start >= 0"""
     )
 
 
-def gold_edges_sql() -> str:
+def gold_edges_sql(documents: str = "documents") -> str:
     ca, region = _canonical_cols_sql()
     backbone = " UNION ALL ".join(
         f"SELECT '{s}' AS subj, '{p}' AS pred, '{o}' AS obj, CAST(1.0 AS DOUBLE) AS confidence"
         for s, p, o in hierarchy_edges()
     )
     return (
-        C.with_shape("documents")
+        C.with_shape(documents)
         + f""",
 _canon AS (
   SELECT repo, path, doc_id,

@@ -317,6 +317,37 @@ def merge_edge_snapshot(delta: DataFrame, edges_root: str,
     merged.write.mode("overwrite").parquet(f"{edges_root}/v{batch_id}")
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-predicate delta between two edge-table snapshot versions — the
+    read-side complement of ``merge_edge_snapshot``'s versioned writes
+    (Iceberg's snapshot-diff / incremental-read, on the parquet-warehouse
+    stand-in): (pred, n_old, n_new, n_added, n_removed), where added /
+    removed are keyed on (subj, pred, obj). Both directions are left-anti
+    joins keyed on the edge identity — output ∝ the CHANGED edges, the
+    per-pred rollup is map-side combined, and nothing is materialized
+    driver-side."""
+    keys = MERGE_KEYS
+    added = new.join(old.select(keys), keys, "left_anti")
+    removed = old.join(new.select(keys), keys, "left_anti")
+
+    def _count(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("pred").agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+
+    return (
+        _count(new, "n_new")
+        .join(_count(old, "n_old"), "pred", "full")
+        .join(_count(added, "n_added"), "pred", "left")
+        .join(_count(removed, "n_removed"), "pred", "left")
+        .select(
+            "pred",
+            *[F.coalesce(c, F.lit(0)).cast("long").alias(c)
+              for c in ("n_old", "n_new", "n_added", "n_removed")],
+        )
+    )
+
+
 def _latest_edge_snapshot(spark: SparkSession, edges_root: str):
     import os
     import re
@@ -389,3 +420,66 @@ def _attach_shared_edges_oracle() -> None:
 
 
 _attach_shared_edges_oracle()
+
+
+def _snapshot_diff_oracle() -> str:
+    from .entry_queries import gold_edges_sql
+
+    v0 = gold_edges_sql("(SELECT * FROM documents WHERE doc_id % 3 = 0)")
+    vf = gold_edges_sql()
+    return f"""
+WITH v0 AS ({v0}),
+vf AS ({vf}),
+added AS (SELECT pred FROM vf ANTI JOIN v0 USING (subj, pred, obj)),
+removed AS (SELECT pred FROM v0 ANTI JOIN vf USING (subj, pred, obj)),
+nn AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_new FROM vf GROUP BY 1),
+no AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_old FROM v0 GROUP BY 1),
+na AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_added FROM added GROUP BY 1),
+nr AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_removed
+       FROM removed GROUP BY 1)
+SELECT pred,
+  CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+  CAST(coalesce(n_added, 0) AS BIGINT) AS n_added,
+  CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed
+FROM nn FULL JOIN no USING (pred)
+LEFT JOIN na USING (pred) LEFT JOIN nr USING (pred)"""
+
+
+@register("edges_snapshot_diff", None)  # oracle attached below (built lazily)
+def q_edges_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TIME-TRAVEL diff (round 4): the per-predicate edge delta
+    between snapshot v0 (edges built from the first ingest drop —
+    doc_id % 3 == 0, the same drop split ``streaming_graph_edges`` uses)
+    and the final merged table (≡ edges over the full corpus, by the
+    max-merge idempotency that query pins). This is Iceberg's
+    incremental-read/changelog shape on the parquet-warehouse stand-in:
+    consumers ask "what changed between snapshots", not "give me the
+    table twice". The oracle rebuilds both versions from the planted gold
+    and anti-joins them natively."""
+    from .operators.canonicalize import canonicalize_mentions
+    from .operators.link import build_edges
+    from .operators.tagger import extract_mentions
+    from .operators.validate import road_address_gate
+
+    corpus = C.corpus_from_documents(spark, sf_dir)
+
+    def chain(c: DataFrame) -> DataFrame:
+        return build_edges(
+            canonicalize_mentions(road_address_gate(extract_mentions(c)))
+        )
+
+    old = chain(corpus.filter(F.col("doc_id") % 3 == 0))
+    return snapshot_diff(old, chain(corpus))
+
+
+def _attach_snapshot_diff_oracle() -> None:
+    from .entry_queries import _REGISTRY
+
+    _REGISTRY["edges_snapshot_diff"] = (
+        _REGISTRY["edges_snapshot_diff"][0],
+        _snapshot_diff_oracle(),
+    )
+
+
+_attach_snapshot_diff_oracle()

@@ -62,3 +62,42 @@ def test_merge_replay_is_idempotent(spark, sf_smoke, tmp_path):
     ES.merge_edge_snapshot(delta(1), root_b, 0)
     ES.merge_edge_snapshot(delta(0), root_b, 1)
     assert _edge_rows(ES._latest_edge_snapshot(spark, root_b)) == final_a
+
+
+def test_snapshot_diff_reads_the_versioned_table(spark, sf_smoke, tmp_path):
+    """snapshot_diff over merge_edge_snapshot's versions: additions are
+    exactly the edges the later drop introduced, nothing is removed by a
+    pure merge, and a synthetic removal IS reported (the diff is
+    symmetric, not additions-only)."""
+    corpus = C.corpus_from_documents(spark, sf_smoke)
+
+    def delta(pred):
+        return build_edges(
+            canonicalize_mentions(
+                road_address_gate(extract_mentions(corpus.filter(pred)))
+            )
+        )
+
+    root = str(tmp_path / "w")
+    ES.merge_edge_snapshot(delta("doc_id % 3 = 0"), root, 0)
+    v0 = ES._latest_edge_snapshot(spark, root)
+    ES.merge_edge_snapshot(delta("doc_id % 3 != 0"), root, 1)
+    v1 = ES._latest_edge_snapshot(spark, root)
+
+    d = {r["pred"]: r for r in ES.snapshot_diff(v0, v1).collect()}
+    full = _edge_rows(delta("true"))
+    old = _edge_rows(v0)
+    assert all(r["n_removed"] == 0 for r in d.values())
+    assert sum(r["n_new"] for r in d.values()) == len(full)
+    added_expected = len(full) - len(old)
+    assert sum(r["n_added"] for r in d.values()) == added_expected > 0
+
+    # synthetic removal: drop one located_in edge from the new side
+    import pyspark.sql.functions as F  # noqa: N812
+    one = v1.filter("pred = 'located_in'").limit(1).collect()[0]
+    pruned = v1.filter(
+        ~((F.col("subj") == one["subj"]) & (F.col("pred") == one["pred"])
+          & (F.col("obj") == one["obj"])))
+    d2 = {r["pred"]: r for r in ES.snapshot_diff(v1, pruned).collect()}
+    assert d2["located_in"]["n_removed"] == 1
+    assert d2["located_in"]["n_added"] == 0
