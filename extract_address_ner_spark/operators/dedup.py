@@ -486,19 +486,38 @@ def connected_components(
     ``connected_components_star``, the large-star/small-star variant that
     converges in ~log₂(chain) rounds; near-dup graphs are usually dense
     enough (diameter 1-3) that plain propagation wins on constant factors."""
+    # Round-4 per-round shuffle diet: edges are pre-partitioned on the
+    # message SOURCE key and labels on the node key, both with the session
+    # shuffle-partition count, and both CACHED — a cached DataFrame
+    # preserves its outputPartitioning, so every round's edge⋈label join
+    # and the label⋈min-message merge plan with ZERO new exchange
+    # (pinned by tests/test_plans.py). The only per-round shuffle left is
+    # the message aggregation itself — ∝ |edges|, never ∝ |nodes|. The
+    # previous union+groupBy formulation re-shuffled the FULL label table
+    # (O(nodes)) every round; at 100 TB that dominates.
     edges = _persist(
         pairs.select(F.col("id_a").alias("_u"), F.col("id_b").alias("_v"))
         .union(pairs.select(F.col("id_b").alias("_u"), F.col("id_a").alias("_v")))
+        .repartition(F.col("_u"))
     )
-    labels = _persist(docs.select(
-        F.col(id_col).alias("_id"), F.col(id_col).alias("_lab")
-    ))
+    labels = _persist(
+        docs.select(F.col(id_col).alias("_id"), F.col(id_col).alias("_lab"))
+        .repartition(F.col("_id"))
+    )
     for _ in range(max_iter):
         msgs = edges.join(
             labels, edges["_u"] == labels["_id"]
         ).select(F.col("_v").alias("_id"), "_lab")
+        min_msgs = msgs.groupBy("_id").agg(F.min("_lab").alias("_m"))
+        # new label = min(own, min incoming): identical to the
+        # union+groupBy(min) formulation, but labels stay put
         new_labels = _persist(
-            labels.union(msgs).groupBy("_id").agg(F.min("_lab").alias("_lab"))
+            labels.join(min_msgs, "_id", "left").select(
+                "_id",
+                F.least(
+                    F.col("_lab"), F.coalesce(F.col("_m"), F.col("_lab"))
+                ).alias("_lab"),
+            )
         )
         changed = (
             new_labels.alias("n")

@@ -209,3 +209,49 @@ def test_asof_join_is_single_shuffle_no_join(spark, sf_smoke):
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "Window" in plan and "Union" in plan
+
+
+def test_components_round_shuffles_messages_not_labels(spark):
+    """Round-4 shuffle diet for connected_components: with edges cached
+    partitioned on the message source and labels cached partitioned on the
+    node id, ONE propagation round must plan exactly ONE new exchange —
+    the message aggregation (∝ edges) — and must never re-shuffle the
+    O(nodes) label table (the old union+groupBy formulation did, every
+    round). AQE/broadcast are disabled in-test to force the at-scale
+    co-partitioned join shape that the claim is about."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        edges = (spark.range(1000)
+                 .select((F.col("id") % 97).alias("_u"),
+                         (F.col("id") % 89).alias("_v"))
+                 .repartition(F.col("_u")).persist())
+        labels = (spark.range(200)
+                  .select(F.col("id").alias("_id"), F.col("id").alias("_lab"))
+                  .repartition(F.col("_id")).persist())
+        edges.count(); labels.count()
+        msgs = edges.join(labels, edges["_u"] == labels["_id"]).select(
+            F.col("_v").alias("_id"), "_lab")
+        mm = msgs.groupBy("_id").agg(F.min("_lab").alias("_m"))
+        new_labels = labels.join(mm, "_id", "left").select(
+            "_id", F.least(F.col("_lab"),
+                           F.coalesce(F.col("_m"), F.col("_lab"))).alias("_lab"))
+
+        def count_ex(p):
+            if "InMemoryTableScan" in p.nodeName():
+                return 0  # the cache boundary: its child plan is history
+            c = 1 if "Exchange" in p.nodeName() else 0
+            ch = p.children()
+            return c + sum(count_ex(ch.apply(i)) for i in range(ch.size()))
+
+        n_ex = count_ex(new_labels._jdf.queryExecution().executedPlan())
+        assert n_ex == 1, n_ex
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        edges.unpersist(); labels.unpersist()
