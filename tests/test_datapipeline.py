@@ -578,3 +578,16 @@ def test_dedup_near_semantic_collapses_planted_embedding_dups(spark, sf_smoke):
     assert planted, "fixture lost its planted dups"
     for i in planted:
         assert i in kept and (i + 100000) not in kept, i
+
+
+def test_connected_components_string_ids(spark):
+    """The docstring's type-agnostic claim, pinned: string ids propagate
+    through the least()-merge and the changed-row convergence probe
+    (a numeric-only formulation would NULL out or raise under ANSI)."""
+    docs = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",)], "doc_id string")
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("d", "e")], "id_a string, id_b string")
+    got = sorted(map(tuple, dedup.connected_components(docs, pairs).collect()))
+    assert got == [("a", "a"), ("b", "b"), ("c", "b"),
+                   ("d", "d"), ("e", "d")]
