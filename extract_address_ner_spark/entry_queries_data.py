@@ -190,6 +190,9 @@ _D_H2 = "(CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT) % 2147483647)"
 _D_MINHASH_J = f"min(({_D_H1} + j * {_D_H2}) % 2147483647)"
 
 @register(
+    # pytest-carried (tests/test_registry_oracles.py): the signature table is
+    # the input of dedup_lsh_pairs / dedup_lsh_verified_pairs — both driver-
+    # checked, so a signature defect cannot pass them (VERDICT r04 #1)
     "dedup_minhash_signatures",
     f"""
 WITH dup AS ({DUP_DOCS_DUCK}),
@@ -200,6 +203,7 @@ SELECT doc_id, CAST(j AS INT) AS h_idx,
   {_D_MINHASH_J} AS minhash
 FROM expl CROSS JOIN generate_series(0, 15) t(j)
 GROUP BY doc_id, j""",
+    driver=False,
 )
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(dup_documents(spark, sf_dir))
@@ -376,6 +380,8 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    # pytest-carried (tests/test_registry_oracles.py): the signature column
+    # feeds dedup_simhash_pairs, which stays driver-checked (VERDICT r04 #1)
     "dedup_simhash",
     f"""
 WITH dup AS ({DUP_DOCS_DUCK}),
@@ -388,6 +394,7 @@ bits AS (SELECT doc_id, b,
 SELECT doc_id,
   CAST(sum(CASE WHEN sgn > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id""",
+    driver=False,
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(dup_documents(spark, sf_dir))
@@ -469,6 +476,10 @@ JOIN assign aa ON aa.vec_id = a.vec_id
 JOIN assign ab ON ab.cluster_id = aa.cluster_id
 JOIN dup b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id
 WHERE round({_D_COS}, 4) >= 0.95""",
+    # pytest-carried (tests/test_registry_oracles.py): dedup_near_semantic
+    # drives the SAME IVF pair generator through the keeper-collapse chain
+    # and stays driver-checked (VERDICT r04 #1)
+    driver=False,
 )
 def q_emb_dupes_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs_ivf(dup_embeddings(spark, sf_dir))
@@ -647,7 +658,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         refine=1)
 
 
-@register("ann_ivf_indexed_topk", None)  # oracle attached below (shared)
+# pytest-carried: shares ann_ivf_topk's oracle verbatim (the index is a
+# physical layout, not a semantic change) — tests/test_registry_oracles.py
+# replays it; the driver slot goes to the streaming family (VERDICT r04 #1)
+@register("ann_ivf_indexed_topk", None, driver=False)  # oracle attached below
 def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MATERIALIZED-index serving path (round 4): build the
     cluster-partitioned IVF index on disk once (``write_ivf_index``), then
@@ -672,10 +686,10 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _attach_shared_ivf_oracle() -> None:
-    from .entry_queries import _REGISTRY
+    from .entry_queries import _PYTEST_REGISTRY, _REGISTRY
 
-    _REGISTRY["ann_ivf_indexed_topk"] = (
-        _REGISTRY["ann_ivf_indexed_topk"][0],
+    _PYTEST_REGISTRY["ann_ivf_indexed_topk"] = (
+        _PYTEST_REGISTRY["ann_ivf_indexed_topk"][0],
         _REGISTRY["ann_ivf_topk"][1],
     )
 
@@ -808,9 +822,13 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window-strategy span merge (alternative physical plan, same semantics)
 # --------------------------------------------------------------------------
 
+# pytest-carried: equivalence with extract_mentions is pinned by
+# tests/test_span_merge.py and the oracle replay in
+# tests/test_registry_oracles.py (VERDICT r04 #1)
 @register(
     "extract_mentions_window",
     None,  # set below: gold restricted to its columns
+    driver=False,
 )
 def q_mentions_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.span_merge import extract_mentions_window
@@ -820,11 +838,11 @@ def q_mentions_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # attach the oracle (gold mentions projected to the window path's columns)
-from .entry_queries import _REGISTRY  # noqa: E402
+from .entry_queries import _PYTEST_REGISTRY  # noqa: E402
 from .sources.corpus import gold_mentions_sql  # noqa: E402
 
-_REGISTRY["extract_mentions_window"] = (
-    _REGISTRY["extract_mentions_window"][0],
+_PYTEST_REGISTRY["extract_mentions_window"] = (
+    _PYTEST_REGISTRY["extract_mentions_window"][0],
     "SELECT doc_id, mention_text, m_start, m_end, confidence FROM ("
     + gold_mentions_sql(sha256_fn="sha256({})")
     + ")",

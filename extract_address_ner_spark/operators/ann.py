@@ -267,6 +267,7 @@ def write_ivf_index(
     refine: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> None:
     """Materialize an IVF index on disk — the 100 TB serving shape the
     in-session ``ivf_topk`` docstring promises: the corpus is written ONCE
@@ -284,10 +285,17 @@ def write_ivf_index(
     and keeps each partition directory to one file per cluster instead of
     one per (write task × cluster) — the same small-files discipline as
     ``link.write_edges_bucketed``. ``nprobe_hint`` is stored nowhere; it
-    only documents the intended probe width for sizing n_centroids."""
-    cents = seed_centroids(emb, n_centroids, seed, id_col, vec_col)
-    if refine:
-        cents = refine_centroids(emb, cents, refine, id_col, vec_col)
+    only documents the intended probe width for sizing n_centroids.
+    ``centroids`` (a ``(centroid_id, _ctv)`` frame) overrides the seeded /
+    refined computation — used to rebuild an index against the EXACT
+    centroid set of an existing one (the append-equivalence pin in
+    tests/test_datapipeline.py)."""
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = seed_centroids(emb, n_centroids, seed, id_col, vec_col)
+        if refine:
+            cents = refine_centroids(emb, cents, refine, id_col, vec_col)
     assign = ivf_assign(emb, cents, id_col, vec_col)
     (
         emb.select(id_col, vec_col)
@@ -300,6 +308,83 @@ def write_ivf_index(
     cents.select(
         "centroid_id", F.col("_ctv").alias("centroid_vec")
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def read_ivf_centroids(spark, index_dir: str) -> DataFrame:
+    """The index's centroid table in the internal ``(centroid_id, _ctv)``
+    shape the assignment/probe helpers consume."""
+    return spark.read.parquet(f"{index_dir}/centroids").select(
+        "centroid_id", F.col("centroid_vec").alias("_ctv")
+    )
+
+
+def append_to_ivf_index(
+    spark,
+    index_dir: str,
+    new_emb: DataFrame,
+    compact_files_cap: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Incremental IVF index maintenance (VERDICT r04 #6): production
+    corpora APPEND — a one-shot index would force a full rebuild per batch.
+
+    New vectors are assigned to the EXISTING centroids (read from the
+    index; the centroid set is immutable across appends, so query routing
+    stays consistent with every previously indexed vector) and appended as
+    new files inside the per-cluster partition directories — write cost
+    ∝ |new vectors|, untouched clusters get no I/O. Queries served via
+    ``ivf_topk_from_index`` see appended vectors immediately; results are
+    IDENTICAL to a full rebuild against the same centroids (pinned by
+    tests/test_datapipeline.py).
+
+    Appends accumulate small files (one per touched cluster per append);
+    past ``compact_files_cap`` files a cluster directory is compacted —
+    read, coalesced to one file, staged to a tmp directory and atomically
+    swapped — so read amplification stays bounded without ever rewriting
+    the whole index. Returns the cluster ids compacted.
+
+    Centroid DRIFT is out of scope by design: appends change cluster
+    occupancy, not centroid positions. A skewed-growth corpus eventually
+    wants a re-refined index; that is a full ``write_ivf_index`` rebuild
+    decision (cheap to detect: per-cluster row counts are one aggregate
+    over this table), not something to silently half-do per append."""
+    import glob
+    import os
+    import shutil
+
+    cents = read_ivf_centroids(spark, index_dir)
+    assign = ivf_assign(new_emb, cents, id_col, vec_col)
+    touched = [
+        r["cluster_id"]
+        for r in assign.select("cluster_id").distinct().collect()
+    ]
+    (
+        new_emb.select(id_col, vec_col)
+        .join(assign, id_col)
+        .repartition(max(len(touched), 1), F.col("cluster_id"))
+        .write.mode("append")
+        .partitionBy("cluster_id")
+        .parquet(f"{index_dir}/vectors")
+    )
+    compacted: list[int] = []
+    for c in sorted(touched):
+        cdir = f"{index_dir}/vectors/cluster_id={c}"
+        files = glob.glob(f"{cdir}/*.parquet")
+        if len(files) <= compact_files_cap:
+            continue
+        rows = spark.read.parquet(cdir)  # leaf dir: no partition column
+        staged = f"{cdir}.compact.tmp"
+        shutil.rmtree(staged, ignore_errors=True)
+        rows.coalesce(1).write.mode("overwrite").parquet(staged)
+        os.remove(f"{staged}/_SUCCESS")
+        old = f"{cdir}.old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(cdir, old)
+        os.rename(staged, cdir)
+        shutil.rmtree(old, ignore_errors=True)
+        compacted.append(c)
+    return compacted
 
 
 def ivf_topk_from_index(

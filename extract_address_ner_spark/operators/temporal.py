@@ -50,11 +50,30 @@ def asof_join(
     equal-time matches are included (ASOF's inclusive bound). ``tiebreak``
     (a right-side column, e.g. its id) makes the winner among right rows
     with IDENTICAL (key, ts) deterministic; leave None only when that
-    combination is unique by construction."""
+    combination is unique by construction.
+
+    Skew: a hot key's cost is ONE task sorting that key's rows — linear,
+    never quadratic (pinned by tests/test_temporal.py's 60%-hot-key fixture
+    staying within a small factor of uniform). If a single key ever
+    outgrows one task at 100 TB, the escalation is time-chunked sub-keys:
+    window on (key, floor(ts / chunk)) and carry each chunk's last right
+    payload into the next chunk's head (one extra bounded shuffle of
+    |chunks| rows) — not needed at the measured skew levels."""
     keys = list(on)
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in keys
     ]
+    # the union construction owns these internal names; an input column that
+    # shadows one would silently produce ambiguous/duplicate columns, so
+    # fail loudly instead (ADVICE r04)
+    reserved = {"_ats", "_is_right", "_tb", "_rp", "_asof"}
+    reserved |= {f"_l_{c}" for c in left.columns}
+    clash = (set(left.columns) | set(right.columns)) & reserved
+    if clash:
+        raise ValueError(
+            f"asof_join reserves internal column names {sorted(clash)} — "
+            "rename the input column(s) before joining"
+        )
     payload = F.struct(*[F.col(c) for c in rcols])
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
     rs = right.select(

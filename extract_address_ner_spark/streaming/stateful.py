@@ -48,7 +48,12 @@ def _update_repo_totals(
 
 
 def running_repo_totals(mentions_stream: DataFrame) -> DataFrame:
-    """mentions stream → per-repo running totals (update output mode)."""
+    """mentions stream → per-repo running totals (update output mode).
+    GroupState rides the session's RocksDB state store provider
+    (stream.ensure_streaming_confs) like every other stateful path."""
+    from .stream import ensure_streaming_confs
+
+    ensure_streaming_confs(mentions_stream.sparkSession)
     return mentions_stream.groupBy("repo").applyInPandasWithState(
         _update_repo_totals,
         outputStructType=OUTPUT_SCHEMA,

@@ -560,6 +560,65 @@ def test_ivf_materialized_index_matches_in_session(spark, sf_correct, tmp_path):
     assert served2 == served
 
 
+def test_ivf_index_append_equals_rebuild(spark, sf_correct, tmp_path):
+    """Round-5 incremental index maintenance (VERDICT r04 #6): building an
+    index on corpus A then APPENDING corpus B must serve exactly the same
+    results as a full rebuild over A∪B against the SAME centroids (the
+    centroid set is immutable across appends by design — drift is a
+    rebuild decision, documented in append_to_ivf_index)."""
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    part_a = emb.filter("vec_id % 3 != 0")
+    part_b = emb.filter("vec_id % 3 = 0")
+    queries = emb.filter("vec_id < 5")
+
+    idx = str(tmp_path / "ivf_inc")
+    ann.write_ivf_index(part_a, idx, n_centroids=32, refine=1)
+    ann.append_to_ivf_index(spark, idx, part_b)
+    appended = sorted(
+        map(tuple, ann.ivf_topk_from_index(spark, idx, queries, k=10,
+                                           nprobe=6).collect()))
+
+    idx_full = str(tmp_path / "ivf_full")
+    ann.write_ivf_index(
+        emb, idx_full, centroids=ann.read_ivf_centroids(spark, idx))
+    rebuilt = sorted(
+        map(tuple, ann.ivf_topk_from_index(spark, idx_full, queries, k=10,
+                                           nprobe=6).collect()))
+    assert appended == rebuilt
+
+
+def test_ivf_index_append_compaction_bounds_files(spark, sf_correct, tmp_path):
+    """Appends accumulate one file per touched cluster; past the file-count
+    cap a cluster directory is compacted (atomic swap) — results unchanged,
+    per-cluster file count back to 1."""
+    import glob
+
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    idx = str(tmp_path / "ivf_c")
+    ann.write_ivf_index(emb.filter("vec_id % 7 = 6"), idx, n_centroids=32,
+                        refine=1)
+    compacted = []
+    for m in range(6):
+        compacted += ann.append_to_ivf_index(
+            spark, idx, emb.filter(f"vec_id % 7 = {m}"), compact_files_cap=4)
+    assert compacted, "six appends into 32 clusters must trip a cap of 4"
+    # invariant after any append: no cluster directory exceeds the cap
+    for cdir in glob.glob(f"{idx}/vectors/cluster_id=*"):
+        files = glob.glob(f"{cdir}/*.parquet")
+        assert 1 <= len(files) <= 4, (cdir, files)
+    served = sorted(
+        map(tuple, ann.ivf_topk_from_index(spark, idx, queries, k=10,
+                                           nprobe=6).collect()))
+    idx_full = str(tmp_path / "ivf_cf")
+    ann.write_ivf_index(emb, idx_full,
+                        centroids=ann.read_ivf_centroids(spark, idx))
+    rebuilt = sorted(
+        map(tuple, ann.ivf_topk_from_index(spark, idx_full, queries, k=10,
+                                           nprobe=6).collect()))
+    assert served == rebuilt
+
+
 def test_dedup_near_semantic_collapses_planted_embedding_dups(spark, sf_smoke):
     """Round-4 semantic dedup end-to-end: exact embedding copies (i,
     i+100000 for i % 5 == 0) must collapse to the min-id keeper when the

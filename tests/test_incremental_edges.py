@@ -101,3 +101,115 @@ def test_snapshot_diff_reads_the_versioned_table(spark, sf_smoke, tmp_path):
     d2 = {r["pred"]: r for r in ES.snapshot_diff(v1, pruned).collect()}
     assert d2["located_in"]["n_removed"] == 1
     assert d2["located_in"]["n_added"] == 0
+
+
+def _bucket_files(root, version):
+    """{bucket: sorted parquet file paths} as resolved THROUGH the manifest."""
+    import glob
+
+    man = ES._read_manifest(root, version)
+    return {
+        b: sorted(glob.glob(f"{root}/{rel}/*.parquet"))
+        for b, rel in man["buckets"].items()
+    }
+
+
+def test_merge_rewrites_only_touched_buckets(spark, sf_smoke, tmp_path):
+    """VERDICT r04 #2: a merge's write amplification must be O(touched
+    buckets), not O(table) — untouched buckets are not rewritten at all
+    (the new manifest points at the PRIOR version's physical files), and
+    the incremental version still reads as the complete merged table."""
+    corpus = C.corpus_from_documents(spark, sf_smoke)
+
+    def delta(pred):
+        return build_edges(
+            canonicalize_mentions(
+                road_address_gate(extract_mentions(corpus.filter(pred)))
+            )
+        )
+
+    root = str(tmp_path / "w")
+    ES.merge_edge_snapshot(delta("true"), root, 0)
+    files_v0 = _bucket_files(root, 0)
+
+    # a one-subject delta touches exactly one subj-hash bucket
+    one = ES.read_edge_snapshot(spark, root).limit(1).collect()[0]
+    small = delta("true").filter(F.col("subj") == one["subj"])
+    n_b = ES._read_manifest(root, 0)["n_buckets"]
+    touched = {
+        str(r[0]) for r in
+        small.select(ES._edge_bucket(n_b)).distinct().collect()
+    }
+    assert len(touched) == 1
+    ES.merge_edge_snapshot(small, root, 1)
+
+    files_v1 = _bucket_files(root, 1)
+    man_v1 = ES._read_manifest(root, 1)["buckets"]
+    for b, rel in man_v1.items():
+        if b in touched:
+            assert rel.startswith("v1/"), (b, rel)
+        else:
+            # pointer reuse: the SAME physical files, not a copy
+            assert rel.startswith("v0/"), (b, rel)
+            assert files_v1[b] == files_v0[b]
+    # and v1 still reads as the complete (unchanged, max-merge) table
+    assert _edge_rows(ES.read_edge_snapshot(spark, root)) == _edge_rows(
+        ES.read_edge_snapshot(spark, root, version=0)
+    )
+
+
+def test_expire_snapshots_keeps_referenced_versions(spark, sf_smoke, tmp_path):
+    """Retention must be manifest-liveness aware: an expired COUNT of
+    versions is kept, plus any older version a retained manifest still
+    points into (incremental versions store only their touched buckets)."""
+    corpus = C.corpus_from_documents(spark, sf_smoke)
+    full = build_edges(
+        canonicalize_mentions(road_address_gate(extract_mentions(corpus)))
+    )
+    root = str(tmp_path / "w")
+    ES.merge_edge_snapshot(full, root, 0)
+    one = ES.read_edge_snapshot(spark, root).limit(1).collect()[0]
+    small = full.filter(F.col("subj") == one["subj"])
+    ES.merge_edge_snapshot(small, root, 1)  # points into v0 for the rest
+    ES.merge_edge_snapshot(small, root, 2)  # ditto
+    before = _edge_rows(ES.read_edge_snapshot(spark, root))
+
+    deleted = ES.expire_snapshots(root, keep=1)
+    # v1 is prunable; v0 must SURVIVE retention because v2's manifest still
+    # references its bucket files
+    assert deleted == [1]
+    assert ES._version_dirs(root) == [0, 2]
+    assert _edge_rows(ES.read_edge_snapshot(spark, root)) == before
+
+    # a full (all-bucket) rewrite makes the old chain unreferenced
+    ES.merge_edge_snapshot(full, root, 3)
+    deleted = ES.expire_snapshots(root, keep=1)
+    assert set(deleted) == {0, 2}
+    assert ES._version_dirs(root) == [3]
+    assert _edge_rows(ES.read_edge_snapshot(spark, root)) == before
+
+
+def test_replay_never_reads_its_own_version(spark, sf_smoke, tmp_path):
+    """ADVICE r04: replay of batch N merges against the latest version
+    STRICTLY BELOW N — even if v<N> exists with corrupt/partial content,
+    replay regenerates it from the intact prior chain instead of reading
+    the directory it is about to overwrite."""
+    corpus = C.corpus_from_documents(spark, sf_smoke)
+    full = build_edges(
+        canonicalize_mentions(road_address_gate(extract_mentions(corpus)))
+    )
+    root = str(tmp_path / "w")
+    half = full.filter(F.col("subj").isNotNull())
+    ES.merge_edge_snapshot(half, root, 0)
+    ES.merge_edge_snapshot(half, root, 1)
+    want = _edge_rows(ES.read_edge_snapshot(spark, root))
+
+    # corrupt v1 in-place (simulated mid-write crash leftovers), then replay
+    import json
+    import shutil
+
+    shutil.rmtree(f"{root}/v1/data", ignore_errors=True)
+    with open(f"{root}/v1/manifest.json", "w") as f:
+        json.dump({"batch_id": 1, "n_buckets": 16, "buckets": {}}, f)
+    ES.merge_edge_snapshot(half, root, 1)
+    assert _edge_rows(ES.read_edge_snapshot(spark, root)) == want

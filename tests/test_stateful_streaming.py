@@ -46,3 +46,18 @@ def test_running_totals_across_batches(spark, tmp_path, sf_smoke):
     got = {repo: r["total_mentions"] for repo, r in t2.items()}
     assert got == want
     assert all(r["updates"] == 2 for r in t2.values())
+
+    # the state above must have lived in RocksDB, not on the executor heap
+    # (VERDICT r04 #3): the session conf is pinned by the stream helpers and
+    # the checkpoint's state directory carries RocksDB snapshot/changelog
+    # artifacts instead of the HDFS-backed provider's .delta files.
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == S.ROCKSDB_PROVIDER
+    )
+    import glob
+
+    state_glob = f"{ckpt}/state/**/*"
+    files = glob.glob(state_glob, recursive=True)
+    assert any(f.endswith((".zip", ".changelog")) for f in files), files
+    assert not any(f.endswith(".delta") for f in files), files
