@@ -542,6 +542,11 @@ def q_streaming_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             delta = build_edges(
                 canonicalize_mentions(road_address_gate(batch_df)))
             merge_edge_snapshot(delta, edges_root, batch_id)
+            # production retention runs inline with the merge: keep the two
+            # newest readable versions; manifest-liveness keeps any older
+            # version they still point into (result-invariant — readers
+            # take the latest version either way)
+            expire_snapshots(edges_root, keep=2)
 
         q = (
             mentions.writeStream.foreachBatch(_merge)
