@@ -189,6 +189,24 @@ def test_expire_snapshots_keeps_referenced_versions(spark, sf_smoke, tmp_path):
     assert _edge_rows(ES.read_edge_snapshot(spark, root)) == before
 
 
+def test_empty_delta_merge_is_pointer_only(spark, sf_smoke, tmp_path):
+    """A micro-batch with no valid mentions yields an EMPTY edge delta —
+    the merge must still commit a complete, readable version (all buckets
+    as pointers to the prior version, zero data rewritten)."""
+    corpus = C.corpus_from_documents(spark, sf_smoke)
+    full = build_edges(
+        canonicalize_mentions(road_address_gate(extract_mentions(corpus)))
+    )
+    root = str(tmp_path / "w")
+    ES.merge_edge_snapshot(full, root, 0)
+    want = _edge_rows(ES.read_edge_snapshot(spark, root))
+    ES.merge_edge_snapshot(full.filter("1 = 0"), root, 1)
+    man = ES._read_manifest(root, 1)
+    assert man["buckets"], "manifest lost the prior pointers"
+    assert all(rel.startswith("v0/") for rel in man["buckets"].values())
+    assert _edge_rows(ES.read_edge_snapshot(spark, root)) == want
+
+
 def test_replay_never_reads_its_own_version(spark, sf_smoke, tmp_path):
     """ADVICE r04: replay of batch N merges against the latest version
     STRICTLY BELOW N — even if v<N> exists with corrupt/partial content,
