@@ -112,6 +112,49 @@ def test_asof_join_skewed_key_wall_time(spark):
     )
 
 
+def test_session_agg_streams_with_watermark(spark, tmp_path):
+    """The operator docstring's streaming claim, pinned: the SAME
+    session_agg expression runs under Structured Streaming with a
+    watermark, and an availableNow drain emits exactly the batch sessions
+    the final watermark closed (append mode ≡ the windowed-counts cutoff
+    rule: session_end + gap <= max(ts) - watermark... Spark closes a
+    session window when the watermark passes its END, which already
+    includes the gap)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows, rng, t = [], random.Random(3), 0
+    for i in range(200):
+        t += rng.choice([60, 300, 1200])
+        rows.append((i, rng.randint(0, 3), base + dt.timedelta(seconds=t), 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    ev.coalesce(1).write.parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir) \
+        .withWatermark("ts", "30 minutes")
+    agg = session_agg(stream, keys=["user_id"], gap="10 minutes")
+    q = (agg.writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect())
+
+    batch = session_agg(ev, keys=["user_id"], gap="10 minutes")
+    cutoff = max(r[2] for r in rows) - dt.timedelta(minutes=30)
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect() if r["session_end"] <= cutoff)
+    assert got == want and len(got) > 0
+    # sanity: something stayed OPEN in state (the defining append behavior)
+    assert len(want) < batch.count()
+
+
 def test_session_agg_matches_reference(spark):
     """Gap-rule sessions incl. the boundary: an event at EXACTLY
     prev + gap MERGES into the session (Spark's bound is inclusive —
