@@ -99,6 +99,11 @@ HEADLINE = [
     "ann_brute_topk",
     "text_quality_score",
     "events_windowed_counts",
+    # round 5: the r04/r05 operator additions join the perf record — the
+    # suite total grows by their cost; cross-round comparisons use the
+    # shared-query subset (query_stats carries per-query numbers)
+    "events_asof_join",
+    "graph_pagerank",
 ]
 
 
