@@ -37,6 +37,7 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     prefix: str = "r_",
     tiebreak: str | None = None,
+    time_chunk: int | None = None,
 ) -> DataFrame:
     """AS-OF (backward, inclusive) join: every left row gains the payload
     of the latest right row with ``right_ts <= left_ts`` in its ``on``
@@ -55,10 +56,19 @@ def asof_join(
     Skew: a hot key's cost is ONE task sorting that key's rows — linear,
     never quadratic (pinned by tests/test_temporal.py's 60%-hot-key fixture
     staying within a small factor of uniform). If a single key ever
-    outgrows one task at 100 TB, the escalation is time-chunked sub-keys:
-    window on (key, floor(ts / chunk)) and carry each chunk's last right
-    payload into the next chunk's head (one extra bounded shuffle of
-    |chunks| rows) — not needed at the measured skew levels."""
+    outgrows one task at 100 TB, pass ``time_chunk`` (a width in ts units;
+    ts must be numeric): the window then partitions on
+    ``(key, floor(ts / time_chunk))`` so the hot key's sort spreads over
+    |chunks| tasks, and chunk heads are patched by a boundary
+    carry-forward — the latest right payload of all EARLIER chunks,
+    computed over a small per-(key, chunk) table (one row per key-chunk,
+    never per event) and joined back on the same (key, chunk) partitioning.
+    Output is pinned identical to the unchunked path
+    (tests/test_temporal.py::test_asof_join_time_chunked_equivalence); the
+    price is one extra column-pruned pass over the inputs to build the
+    chunk spine plus the small-table join. Same documented precondition:
+    with duplicate (key, ts) right rows, supply ``tiebreak`` — both paths
+    tie-break on it."""
     keys = list(on)
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in keys
@@ -66,7 +76,8 @@ def asof_join(
     # the union construction owns these internal names; an input column that
     # shadows one would silently produce ambiguous/duplicate columns, so
     # fail loudly instead (ADVICE r04)
-    reserved = {"_ats", "_is_right", "_tb", "_rp", "_asof"}
+    reserved = {"_ats", "_is_right", "_tb", "_rp", "_asof",
+                "_chunk", "_cl", "_carry"}
     reserved |= {f"_l_{c}" for c in left.columns}
     clash = (set(left.columns) | set(right.columns)) & reserved
     if clash:
@@ -92,14 +103,51 @@ def asof_join(
         F.lit(None).cast(rs.schema["_rp"].dataType).alias("_rp"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.asc("_ats"), F.desc("_is_right"), F.asc_nulls_first("_tb"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = rs.unionByName(ls).withColumn(
-        "_asof", F.last("_rp", ignorenulls=True).over(w)
-    )
+    order = [F.asc("_ats"), F.desc("_is_right"), F.asc_nulls_first("_tb")]
+    if time_chunk is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = rs.unionByName(ls).withColumn(
+            "_asof", F.last("_rp", ignorenulls=True).over(w)
+        )
+    else:
+        if time_chunk <= 0:
+            raise ValueError("time_chunk must be a positive ts-unit width")
+        # skew escalation: spread the hot key's sort over time chunks, then
+        # patch chunk heads with the latest right payload of EARLIER chunks
+        chunk_of = F.floor(F.col("_ats") / F.lit(time_chunk)).cast("long")
+        un = rs.unionByName(ls).withColumn("_chunk", chunk_of)
+        wl = (
+            Window.partitionBy(*keys, "_chunk")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = un.withColumn("_asof", F.last("_rp", ignorenulls=True).over(wl))
+        # one row per (key, chunk) that holds a right row: its latest payload
+        rchunk = (
+            rs.withColumn("_chunk", chunk_of)
+            .groupBy(*keys, "_chunk")
+            .agg(F.max_by("_rp", F.struct("_ats", "_tb")).alias("_cl"))
+        )
+        # the spine adds chunks that hold only left rows, so the window-carry
+        # below can fill them from earlier chunks; column-pruned second pass
+        spine = un.select(*keys, "_chunk").distinct()
+        wc = (
+            Window.partitionBy(*keys)
+            .orderBy("_chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            spine.join(rchunk, [*keys, "_chunk"], "left")
+            .withColumn("_carry", F.last("_cl", ignorenulls=True).over(wc))
+            .select(*keys, "_chunk", "_carry")
+        )
+        carried = local.join(carry, [*keys, "_chunk"], "left").withColumn(
+            "_asof", F.coalesce("_asof", "_carry")
+        )
     out_left = [
         F.col(f"_l_{c}").alias(c) for c in left.columns
     ]

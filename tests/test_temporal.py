@@ -112,6 +112,58 @@ def test_asof_join_skewed_key_wall_time(spark):
     )
 
 
+def test_asof_join_time_chunked_equivalence(spark):
+    """Round-5: the time-chunked skew escalation (window on
+    (key, floor(ts/chunk)) + boundary carry-forward) must return EXACTLY
+    the unchunked result — across chunk widths that produce many chunks
+    (width 1), a few chunks (width 137), and one chunk (width ≥ ts range,
+    which degenerates to the plain path incl. a fully-null carry). The
+    fixture plants the adversarial spots: equal-timestamp collisions,
+    duplicate (key, ts) right rows needing the tiebreak, lefts preceding
+    any right (NULL carry-in), and chunks holding only left rows (carry
+    must skip right-less chunks, not stop at them)."""
+    rng = random.Random(23)
+    lefts = [(i, rng.randint(0, 4), rng.randint(0, 2000)) for i in range(400)]
+    # sparse rights → many left-only chunks at width 137
+    rights = [(1000 + i, rng.randint(0, 4), rng.randint(0, 2000))
+              for i in range(60)]
+    rights += [(2000, lefts[0][1], lefts[0][2]),
+               (2001, lefts[0][1], lefts[0][2])]  # dup (key, ts) → tiebreak
+    left = spark.createDataFrame(lefts, "id long, k long, t long")
+    right = spark.createDataFrame(rights, "rid long, k long, t long")
+
+    def run(chunk):
+        return sorted(
+            (r["id"], r["r_rid"], r["r_t"])
+            for r in asof_join(
+                left, right, on=["k"], left_ts="t", right_ts="t",
+                right_cols=["rid", "t"], tiebreak="rid", time_chunk=chunk,
+            ).collect()
+        )
+
+    want = run(None)
+    assert any(r[1] is None for r in want)  # unmatched lefts present
+    for chunk in (1, 137, 10**9):
+        assert run(chunk) == want, chunk
+
+
+def test_asof_join_time_chunked_spreads_the_hot_key(spark):
+    """The escalation's point, pinned in the PLAN: the big window's
+    exchange partitions on (key, _chunk) — the hot key's sort spreads over
+    |chunks| tasks instead of one — and the carry join adds only
+    small-table work (the carry side is one row per (key, chunk))."""
+    left = spark.createDataFrame(
+        [(i, 0, i) for i in range(1000)], "id long, k long, t long")
+    right = spark.createDataFrame(
+        [(i, 0, i * 3) for i in range(100)], "rid long, k long, t long")
+    j = asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                  right_cols=["rid"], tiebreak="rid", time_chunk=100)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    parts = plan.split("hashpartitioning(k")[1:]
+    assert parts, plan
+    assert any("_chunk" in p[:80] for p in parts), plan
+
+
 def test_session_agg_streams_with_watermark(spark, tmp_path):
     """The operator docstring's streaming claim, pinned: the SAME
     session_agg expression runs under Structured Streaming with a
