@@ -423,6 +423,71 @@ def test_connected_components_on_planted_dups(spark, sf_smoke):
             assert c == d  # singleton labels itself
 
 
+def test_incremental_components_matches_full_recompute(spark):
+    """Round-5: merging delta pair batches into an existing labeling must
+    equal a FULL recompute over all pairs seen so far — across batches
+    that (a) extend existing components, (b) MERGE two existing
+    components through a single delta edge, (c) introduce brand-new
+    clusters, (d) add edges internal to one component (contracted
+    self-loops), and (e) make a NEW node the component minimum (the
+    relabel must flow old → new id). String ids, so the orderable-label
+    contract is covered too."""
+    import random
+
+    rng = random.Random(41)
+    node_ids = [f"d{i:03d}" for i in range(120)]
+    batches = []
+    # seeded structure hitting the named cases, then random fill
+    batches.append([("d010", "d011"), ("d011", "d012"), ("d050", "d051")])
+    batches.append([("d012", "d050"),            # merge two components
+                    ("d010", "d012"),            # internal edge (self-loop)
+                    ("d090", "d091")])           # new cluster
+    batches.append([("d005", "d010"),            # new node IS the new min
+                    ("d000", "d091")])           # new min via merge
+    for _ in range(2):
+        batches.append([
+            (rng.choice(node_ids), rng.choice(node_ids)) for _ in range(25)
+        ])
+    labels = spark.createDataFrame([], "doc_id string, component_id string")
+    seen: list = []
+    for bi, batch in enumerate(batches):
+        batch = [(a, b) for a, b in batch if a != b]
+        seen += batch
+        delta = spark.createDataFrame(batch, "id_a string, id_b string")
+        labels = dedup.incremental_components(labels, delta)
+        # cut lineage so the loop doesn't compound plans across batches —
+        # exactly what a foreachBatch caller does via the durable table
+        labels = spark.createDataFrame(
+            labels.collect(), "doc_id string, component_id string")
+        all_nodes = sorted({x for p in seen for x in p})
+        full = dedup.connected_components(
+            spark.createDataFrame([(n,) for n in all_nodes], "doc_id string"),
+            spark.createDataFrame(seen, "id_a string, id_b string"),
+        )
+        got = {r["doc_id"]: r["component_id"] for r in labels.collect()}
+        want = {r["doc_id"]: r["component_id"] for r in full.collect()}
+        assert got == want, (bi, {k: (got.get(k), want[k])
+                                  for k in want if got.get(k) != want[k]})
+
+
+def test_incremental_components_relabel_is_broadcast(spark):
+    """The scale claim, plan-pinned: the corpus-sized label table is
+    RELABELED via a broadcast join of the delta-sized remap table — the
+    plan's join on `_old` must be a BroadcastHashJoin, never a sort-merge
+    that would shuffle the full label table per micro-batch."""
+    labels = spark.createDataFrame(
+        [(f"d{i}", f"d{i}") for i in range(200)],
+        "doc_id string, component_id string")
+    delta = spark.createDataFrame(
+        [("d1", "d2"), ("d3", "d199")], "id_a string, id_b string")
+    out = dedup.incremental_components(labels, delta)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    joins_on_old = [seg for seg in plan.splitlines()
+                    if "Join" in seg and "_old" in seg]
+    assert joins_on_old, plan
+    assert all("BroadcastHashJoin" in seg for seg in joins_on_old), plan
+
+
 def test_star_components_semantics(spark):
     """Large-star/small-star must produce exactly the min-label contract:
     singletons self-label, clusters collapse to their min id — same cases
