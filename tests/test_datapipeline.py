@@ -444,10 +444,9 @@ def test_incremental_components_matches_full_recompute(spark):
                     ("d090", "d091")])           # new cluster
     batches.append([("d005", "d010"),            # new node IS the new min
                     ("d000", "d091")])           # new min via merge
-    for _ in range(2):
-        batches.append([
-            (rng.choice(node_ids), rng.choice(node_ids)) for _ in range(25)
-        ])
+    batches.append([
+        (rng.choice(node_ids), rng.choice(node_ids)) for _ in range(25)
+    ])
     labels = spark.createDataFrame([], "doc_id string, component_id string")
     seen: list = []
     for bi, batch in enumerate(batches):
@@ -468,6 +467,37 @@ def test_incremental_components_matches_full_recompute(spark):
         want = {r["doc_id"]: r["component_id"] for r in full.collect()}
         assert got == want, (bi, {k: (got.get(k), want[k])
                                   for k in want if got.get(k) != want[k]})
+
+
+def test_incremental_near_dedup_matches_one_shot(spark, sf_smoke):
+    """Round-5 end-to-end: near-dup dedup-on-arrival (band the batch →
+    probe the durable band index → verify delta candidates → merge into
+    the labeling) must equal the one-shot path batch-by-batch — after
+    every batch, labels == connected_components over lsh_verified_pairs of
+    the corpus-so-far, and the final keeper set == ``dedup_near``. Batches
+    split doc_id % 3, which strews each planted dup cluster (i, i+100000,
+    i+200000) ACROSS batches — pairs must form against index entries from
+    earlier batches, not just within a batch."""
+    docs = dup_documents(spark, sf_smoke)
+    labels, index, corpus = None, None, None
+    for k in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == k)
+        corpus = batch if corpus is None else corpus.unionByName(batch)
+        labels, nb = dedup.incremental_dedup_batch(
+            labels, index, batch, corpus)
+        index = nb if index is None else index.unionByName(nb)
+        # durable-table lineage cut, as a foreachBatch caller would have
+        labels = spark.createDataFrame(labels.collect(), labels.schema)
+        index = spark.createDataFrame(index.collect(), index.schema)
+        got = {r["doc_id"]: r["component_id"] for r in labels.collect()}
+        full = dedup.connected_components(
+            corpus, dedup.lsh_verified_pairs(corpus))
+        want = {r["doc_id"]: r["component_id"] for r in full.collect()}
+        assert got == want, (k, {d: (got.get(d), want[d])
+                                 for d in want if got.get(d) != want[d]})
+    keepers = {d for d, c in got.items() if d == c}
+    want_keepers = {r["doc_id"] for r in dedup.dedup_near(docs).collect()}
+    assert keepers == want_keepers
 
 
 def test_incremental_components_relabel_is_broadcast(spark):
