@@ -488,6 +488,93 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+def merge_dedup_labels(
+    new_docs: DataFrame,
+    root: str,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> None:
+    """foreachBatch body for NEAR-dup dedup-on-arrival: maintain the near-
+    duplicate component labeling of an append-only corpus across micro-
+    batches, per-batch cost ∝ the batch (``incremental_dedup_batch``:
+    band the batch → probe the durable band index → verify delta
+    candidates → merge into the labeling). The streaming sibling of
+    ``merge_edge_snapshot`` — same durable layout discipline under
+    ``root``:
+
+    - ``corpus/v<batch>/``, ``bands/v<batch>/``: per-batch appends (docs
+      and their ``lsh_band_table`` rows). A replayed batch OVERWRITES its
+      own directory — idempotent, and the batch is re-read from its own
+      durable parquet before processing, which both survives source
+      replays and cuts the streaming-source lineage (the operator's
+      localCheckpoint rationale).
+    - ``labels/v<batch>/``: snapshot-versioned label table; the previous
+      state is the latest version STRICTLY BELOW ``batch_id`` (a replay
+      never reads the version it rewrites), staged to ``.tmp`` and
+      atomically renamed. ``expire_snapshots``-style retention applies
+      directly (each label version is self-contained, no manifest
+      pointers needed — the table is O(corpus ids), not O(corpus text)).
+
+    Replay safety end-to-end: a crash between the corpus/bands overwrite
+    and the labels rename leaves the prior label chain intact; the replay
+    recomputes from strictly-prior state plus its own re-written batch
+    (pytest corrupts and replays the last batch; labels byte-equal)."""
+    import os
+    import shutil
+
+    spark = new_docs.sparkSession
+    own_corpus = f"{root}/corpus/v{batch_id}"
+    # stage-and-rename, not overwrite-in-place: a REPLAY's input may be
+    # derived from this very directory (recovery tooling re-feeding the
+    # durable drop), and overwriting a path mid-read is the read-while-
+    # overwrite hazard (ADVICE r04). The staged write reads the input
+    # while the old copy is still intact, then swaps.
+    staged_c = f"{own_corpus}.tmp"
+    shutil.rmtree(staged_c, ignore_errors=True)
+    new_docs.select(id_col, text_col).write.mode("overwrite").parquet(
+        staged_c
+    )
+    shutil.rmtree(own_corpus, ignore_errors=True)
+    os.rename(staged_c, own_corpus)
+    batch = spark.read.parquet(own_corpus)
+
+    prior_band_vs = [v for v in _version_dirs(f"{root}/bands")
+                     if v < batch_id]
+    band_index = (
+        spark.read.parquet(
+            *[f"{root}/bands/v{v}" for v in prior_band_vs]
+        )
+        if prior_band_vs else None
+    )
+    prior_label_vs = [v for v in _version_dirs(f"{root}/labels")
+                      if v < batch_id]
+    labels = (
+        spark.read.parquet(f"{root}/labels/v{prior_label_vs[-1]}")
+        if prior_label_vs else None
+    )
+    corpus_vs = [v for v in _version_dirs(f"{root}/corpus")
+                 if v <= batch_id]
+    corpus = spark.read.parquet(
+        *[f"{root}/corpus/v{v}" for v in corpus_vs]
+    )
+
+    from .operators.dedup import incremental_dedup_batch
+
+    new_labels, nb = incremental_dedup_batch(
+        labels, band_index, batch, corpus,
+        text_col=text_col, id_col=id_col, threshold=threshold,
+    )
+    nb.write.mode("overwrite").parquet(f"{root}/bands/v{batch_id}")
+    staged = f"{root}/labels/v{batch_id}.tmp"
+    final = f"{root}/labels/v{batch_id}"
+    shutil.rmtree(staged, ignore_errors=True)
+    new_labels.write.mode("overwrite").parquet(staged)
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(staged, final)
+
+
 def read_edge_snapshot(
     spark: SparkSession, edges_root: str, version: int | None = None
 ):

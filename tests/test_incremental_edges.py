@@ -231,3 +231,59 @@ def test_replay_never_reads_its_own_version(spark, sf_smoke, tmp_path):
         json.dump({"batch_id": 1, "n_buckets": 16, "buckets": {}}, f)
     ES.merge_edge_snapshot(half, root, 1)
     assert _edge_rows(ES.read_edge_snapshot(spark, root)) == want
+
+
+def test_streaming_near_dedup_labels(spark, sf_smoke, tmp_path):
+    """Round-5: NEAR-dup dedup-on-arrival end-to-end through a REAL
+    availableNow stream (maxFilesPerTrigger=1 over three drops) — the
+    foreachBatch body (``merge_dedup_labels``) maintains a snapshot-
+    versioned label table via the durable band index; after the drain the
+    latest labels equal the one-shot components over the FULL corpus and
+    the keeper set equals ``dedup_near``. Then the foreachBatch failure
+    mode: the last batch's label version is destroyed and the batch
+    replayed with the same id — the replay regenerates it from the
+    strictly-prior chain plus its own re-written corpus drop, identically."""
+    import shutil
+
+    from extract_address_ner_spark.entry_queries_data import dup_documents
+    from extract_address_ner_spark.operators import dedup
+    from extract_address_ner_spark.streaming.stream import (
+        ensure_streaming_confs,
+    )
+
+    docs = dup_documents(spark, sf_smoke).select("doc_id", "text")
+    in_dir = str(tmp_path / "in")
+    for part in range(3):
+        docs.filter(F.col("doc_id") % 3 == part).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+    root = str(tmp_path / "dedup")
+    ensure_streaming_confs(spark)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        stream.writeStream
+        .foreachBatch(lambda df, bid: ES.merge_dedup_labels(df, root, bid))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    versions = ES._version_dirs(f"{root}/labels")
+    assert versions == [0, 1, 2], versions
+    got = {r["doc_id"]: r["component_id"]
+           for r in spark.read.parquet(f"{root}/labels/v2").collect()}
+    want = {r["doc_id"]: r["component_id"]
+            for r in dedup.connected_components(
+                docs, dedup.lsh_verified_pairs(docs)).collect()}
+    assert got == want
+    keepers = {d for d, c in got.items() if d == c}
+    assert keepers == {r["doc_id"] for r in dedup.dedup_near(docs).collect()}
+
+    shutil.rmtree(f"{root}/labels/v2")
+    ES.merge_dedup_labels(spark.read.parquet(f"{root}/corpus/v2"), root, 2)
+    got2 = {r["doc_id"]: r["component_id"]
+            for r in spark.read.parquet(f"{root}/labels/v2").collect()}
+    assert got2 == got
