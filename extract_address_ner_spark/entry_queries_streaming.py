@@ -513,9 +513,12 @@ def merge_dedup_labels(
     - ``labels/v<batch>/``: snapshot-versioned label table; the previous
       state is the latest version STRICTLY BELOW ``batch_id`` (a replay
       never reads the version it rewrites), staged to ``.tmp`` and
-      atomically renamed. ``expire_snapshots``-style retention applies
-      directly (each label version is self-contained, no manifest
-      pointers needed — the table is O(corpus ids), not O(corpus text)).
+      atomically renamed. Label versions are SELF-CONTAINED (the table is
+      O(corpus ids), not O(corpus text)) so retention needs no manifest
+      liveness — ``expire_label_snapshots(root, keep>=2)`` simply keeps
+      the newest K (keep ≥ 2 is the replay floor: a replayed last batch
+      reads the version before it). Band/corpus drops are never expired —
+      the probe index needs full history.
 
     Replay safety end-to-end: a crash between the corpus/bands overwrite
     and the labels rename leaves the prior label chain intact; the replay
@@ -573,6 +576,28 @@ def merge_dedup_labels(
     new_labels.write.mode("overwrite").parquet(staged)
     shutil.rmtree(final, ignore_errors=True)
     os.rename(staged, final)
+
+
+def expire_label_snapshots(root: str, keep: int) -> list[int]:
+    """Retention for the ``merge_dedup_labels`` label chain: keep the
+    newest ``keep`` versions, delete the rest (label versions are
+    self-contained — no manifest-liveness rule needed, unlike
+    ``expire_snapshots``). ``keep >= 2`` is enforced: a replayed batch N
+    reads the latest version strictly below N, so the version before the
+    newest must survive until the newest can no longer be replayed.
+    Returns the deleted version ids."""
+    import shutil
+
+    if keep < 2:
+        raise ValueError(
+            "keep must be >= 2 — a replayed last batch reads the version "
+            "before it"
+        )
+    versions = _version_dirs(f"{root}/labels")
+    deleted = versions[:-keep] if len(versions) > keep else []
+    for v in deleted:
+        shutil.rmtree(f"{root}/labels/v{v}", ignore_errors=True)
+    return deleted
 
 
 def read_edge_snapshot(

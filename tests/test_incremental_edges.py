@@ -287,3 +287,39 @@ def test_streaming_near_dedup_labels(spark, sf_smoke, tmp_path):
     got2 = {r["doc_id"]: r["component_id"]
             for r in spark.read.parquet(f"{root}/labels/v2").collect()}
     assert got2 == got
+
+
+def test_expire_label_snapshots_keeps_replay_floor(spark, sf_smoke, tmp_path):
+    """Label-chain retention: newest K survive, older versions go, keep<2
+    is refused (a replayed last batch reads the version before it), and
+    band/corpus drops are untouched — after expiry a last-batch replay
+    still regenerates identical labels from the retained chain."""
+    import os
+    import shutil
+
+    import pytest
+
+    from extract_address_ner_spark.entry_queries_data import dup_documents
+
+    docs = dup_documents(spark, sf_smoke).select("doc_id", "text")
+    root = str(tmp_path / "dedup")
+    for part in range(3):
+        ES.merge_dedup_labels(
+            docs.filter(F.col("doc_id") % 3 == part), root, part)
+    want = sorted(map(tuple,
+                      spark.read.parquet(f"{root}/labels/v2").collect()))
+
+    with pytest.raises(ValueError, match="keep"):
+        ES.expire_label_snapshots(root, keep=1)
+    assert ES.expire_label_snapshots(root, keep=2) == [0]
+    assert ES._version_dirs(f"{root}/labels") == [1, 2]
+    assert ES._version_dirs(f"{root}/bands") == [0, 1, 2]
+    assert ES._version_dirs(f"{root}/corpus") == [0, 1, 2]
+
+    # replay of the last batch against the retained chain is still exact
+    shutil.rmtree(f"{root}/labels/v2")
+    ES.merge_dedup_labels(spark.read.parquet(f"{root}/corpus/v2"), root, 2)
+    got = sorted(map(tuple,
+                     spark.read.parquet(f"{root}/labels/v2").collect()))
+    assert got == want
+    assert os.path.isdir(f"{root}/labels/v1")
