@@ -61,6 +61,7 @@ import threading
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Active dedup_cache_scope registries (a stack — scopes can nest; every
 # active scope sees the persist so nesting never leaks). THREAD-LOCAL:
@@ -717,6 +718,7 @@ def incremental_components(
     id_col: str = "doc_id",
     label_col: str = "component_id",
     max_iter: int = 25,
+    driver_threshold: int = 0,
 ) -> DataFrame:
     """Merge a DELTA batch of near-dup pairs into an existing component
     labeling without recomputing components over the whole corpus — the
@@ -744,7 +746,18 @@ def incremental_components(
       the big table.
     Two full scans of the label table per batch is the irreducible cost
     of reading + rewriting labels; nothing is ever shuffled or iterated
-    at corpus size."""
+    at corpus size.
+
+    ``driver_threshold`` (>0 to enable): when the CONTRACTED graph holds
+    at most this many edges, compute its components with a driver-side
+    union-find instead of the iterative distributed CC — one bounded
+    ``limit(threshold+1).collect()`` replaces the CC loop's per-round
+    join/aggregate/convergence-probe jobs (~6-10 Spark jobs of pure fixed
+    overhead for a micro-batch-sized delta). This is NOT a driver-side
+    loop over corpus data: the contracted graph is ∝ |delta| + touched
+    components by construction, and a delta exceeding the threshold
+    falls back to the distributed path (same one action spent checking).
+    Result identity between the two paths is pytest-pinned."""
     clash = {"_n", "_s", "_old", "_new"} & set(prev_labels.columns)
     if clash:
         raise ValueError(
@@ -783,11 +796,46 @@ def incremental_components(
         .distinct()
     )
     # remap: old super-node id → merged component label (∝ delta rows)
-    remap = _persist(
-        connected_components(snodes, ce, id_col=id_col, max_iter=max_iter)
-        .select(F.col(id_col).alias("_old"), F.col("component_id").alias("_new"))
-        .filter(F.col("_old") != F.col("_new"))
-    )
+    remap = None
+    if driver_threshold > 0:
+        ce_rows = ce.limit(driver_threshold + 1).collect()
+        if len(ce_rows) <= driver_threshold:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.setdefault(r, r) != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in ce_rows:
+                ra, rb = find(row["id_a"]), find(row["id_b"])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            groups: dict = {}
+            for n in parent:
+                groups.setdefault(find(n), []).append(n)
+            remap_rows = [
+                (n, root) for root, members in groups.items()
+                for n in members if n != root
+            ]
+            id_type = ce.schema["id_a"].dataType
+            schema = T.StructType([
+                T.StructField("_old", id_type),
+                T.StructField("_new", id_type),
+            ])
+            remap = _persist(
+                prev_labels.sparkSession.createDataFrame(remap_rows, schema)
+            )
+    if remap is None:
+        remap = _persist(
+            connected_components(snodes, ce, id_col=id_col, max_iter=max_iter)
+            .select(F.col(id_col).alias("_old"),
+                    F.col("component_id").alias("_new"))
+            .filter(F.col("_old") != F.col("_new"))
+        )
     relabeled = prev_labels.join(
         F.broadcast(remap), prev_labels[label_col] == F.col("_old"), "left"
     ).select(
@@ -877,6 +925,7 @@ def incremental_dedup_batch(
     n_hashes: int = N_HASHES,
     band_size: int = BAND_SIZE,
     max_bucket_size: int | None = None,
+    driver_threshold: int = 100_000,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch of NEAR-dup dedup-on-arrival — the full incremental
     chain: band the new docs and probe the durable band index
@@ -897,7 +946,13 @@ def incremental_dedup_batch(
 
     End-to-end equivalence with the one-shot ``dedup_near`` keeper set is
     pytest-pinned batch-by-batch at ``max_bucket_size=None`` (see the
-    probe-time cap note on ``incremental_lsh_pairs``)."""
+    probe-time cap note on ``incremental_lsh_pairs``).
+
+    ``driver_threshold`` defaults ON here (100k contracted edges ≈ a few
+    MB driver-side): a micro-batch's verified-dup delta is small by
+    construction, and the union-find fast path removes the CC loop's
+    fixed per-round job overhead from every batch (see
+    ``incremental_components``; oversized deltas fall back)."""
     cand, nb = incremental_lsh_pairs(
         new_docs, band_index, text_col, id_col, n_hashes, band_size,
         max_bucket_size,
@@ -919,7 +974,9 @@ def incremental_dedup_batch(
     # plan-truncation rationale (incl. the reliable-storage caveat on real
     # clusters) as connected_components_star's per-round edge sets.
     verified = verified.select("id_a", "id_b").localCheckpoint()
-    merged = incremental_components(labels, verified, id_col=id_col)
+    merged = incremental_components(
+        labels, verified, id_col=id_col, driver_threshold=driver_threshold
+    )
     # singleton arrivals: new docs untouched by any verified pair still get
     # a self-label row. The anti-join's right side is the DELTA pairs'
     # endpoint set (small, broadcast) — never the corpus-sized label table.

@@ -469,6 +469,32 @@ def test_incremental_components_matches_full_recompute(spark):
                                   for k in want if got.get(k) != want[k]})
 
 
+def test_incremental_components_driver_path_equivalence(spark):
+    """Round-5: the bounded driver-side union-find fast path
+    (driver_threshold) must return EXACTLY the distributed result — on a
+    delta that merges two components, adds a new cluster, and makes a new
+    node a component minimum — and a delta LARGER than the threshold must
+    fall back to the distributed path (threshold=1 here), identically."""
+    labels = spark.createDataFrame(
+        [("b", "b"), ("c", "b"), ("f", "f"), ("g", "f"), ("z", "z")],
+        "doc_id string, component_id string")
+    delta = spark.createDataFrame(
+        [("c", "g"),          # merge components b and f
+         ("p", "q"),          # brand-new cluster
+         ("a", "b"),          # new node 'a' becomes the min of b∪f∪{a}
+         ("z", "z2")],        # extend a singleton
+        "id_a string, id_b string")
+    want = None
+    for thr in (0, 1, 10_000):
+        got = sorted(map(tuple, dedup.incremental_components(
+            labels, delta, driver_threshold=thr).collect()))
+        if want is None:
+            want = got
+        assert got == want, thr
+    assert dict(want) == {"a": "a", "b": "a", "c": "a", "f": "a", "g": "a",
+                          "p": "p", "q": "p", "z": "z", "z2": "z"}
+
+
 def test_incremental_near_dedup_matches_one_shot(spark, sf_smoke):
     """Round-5 end-to-end: near-dup dedup-on-arrival (band the batch →
     probe the durable band index → verify delta candidates → merge into
