@@ -578,6 +578,53 @@ def merge_dedup_labels(
     os.rename(staged, final)
 
 
+def compact_band_index(spark: SparkSession, root: str,
+                       keep: int = 2) -> list[int]:
+    """Compact the ``merge_dedup_labels`` band index: every batch appends
+    a ``bands/v<batch>`` directory, so the per-batch probe's multi-path
+    read lists O(batches) directories forever. Compaction merges all band
+    drops EXCEPT the newest ``keep`` into the highest merged version's
+    directory (one combined parquet dir), deleting the originals — reads
+    of "versions strictly below N" see exactly the same rows, and replay
+    only ever re-feeds the LAST batch, which stays uncompacted
+    (``keep >= 2`` enforced, the same replay floor as
+    ``expire_label_snapshots``).
+
+    Crash safety by ordering + idempotence, not atomicity across dirs:
+    the combined dir is staged and renamed over the highest merged
+    version FIRST, then the older originals are removed. A crash between
+    those steps leaves duplicate band rows (original + combined), which
+    the probe's canonical ``dropDuplicates`` already tolerates, and
+    re-running compaction removes — the combined read is
+    ``dropDuplicates`` over (id, band_idx, band_sig), so compacting a
+    half-compacted chain converges. Returns the removed version ids."""
+    import os
+    import shutil
+
+    if keep < 2:
+        raise ValueError(
+            "keep must be >= 2 — the last batch must stay replayable"
+        )
+    versions = _version_dirs(f"{root}/bands")
+    to_merge = versions[:-keep] if len(versions) > keep else []
+    if len(to_merge) < 2:
+        return []
+    high = to_merge[-1]
+    combined = spark.read.parquet(
+        *[f"{root}/bands/v{v}" for v in to_merge]
+    ).dropDuplicates()
+    staged = f"{root}/bands/v{high}.tmp"
+    shutil.rmtree(staged, ignore_errors=True)
+    combined.write.mode("overwrite").parquet(staged)
+    final = f"{root}/bands/v{high}"
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(staged, final)
+    removed = [v for v in to_merge if v != high]
+    for v in removed:
+        shutil.rmtree(f"{root}/bands/v{v}", ignore_errors=True)
+    return removed
+
+
 def expire_label_snapshots(root: str, keep: int) -> list[int]:
     """Retention for the ``merge_dedup_labels`` label chain: keep the
     newest ``keep`` versions, delete the rest (label versions are

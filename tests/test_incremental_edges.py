@@ -323,3 +323,50 @@ def test_expire_label_snapshots_keeps_replay_floor(spark, sf_smoke, tmp_path):
                      spark.read.parquet(f"{root}/labels/v2").collect()))
     assert got == want
     assert os.path.isdir(f"{root}/labels/v1")
+
+
+def test_compact_band_index(spark, sf_smoke, tmp_path):
+    """Band-index compaction: the probe's read set shrinks from O(batches)
+    directories to keep+1 while the ROW SET is exactly preserved; the
+    newest `keep` drops stay uncompacted (replay floor); re-running is a
+    no-op; and a simulated crash (an original dir surviving next to the
+    combined one) self-heals on the next compaction via the canonical
+    dropDuplicates."""
+    import shutil
+
+    from extract_address_ner_spark.entry_queries_data import dup_documents
+
+    docs = dup_documents(spark, sf_smoke).select("doc_id", "text")
+    root = str(tmp_path / "dedup")
+    for part in range(5):
+        ES.merge_dedup_labels(
+            docs.filter(F.col("doc_id") % 5 == part), root, part)
+
+    def band_rows():
+        vs = ES._version_dirs(f"{root}/bands")
+        return sorted(map(tuple, spark.read.parquet(
+            *[f"{root}/bands/v{v}" for v in vs]).dropDuplicates().collect()))
+
+    before = band_rows()
+    want_labels = sorted(map(tuple,
+                             spark.read.parquet(f"{root}/labels/v4").collect()))
+
+    assert ES.compact_band_index(spark, root, keep=2) == [0, 1]
+    assert ES._version_dirs(f"{root}/bands") == [2, 3, 4]
+    assert band_rows() == before
+    assert ES.compact_band_index(spark, root, keep=2) == []  # no-op now
+
+    # replay of the last batch probes the compacted index identically
+    shutil.rmtree(f"{root}/labels/v4")
+    ES.merge_dedup_labels(spark.read.parquet(f"{root}/corpus/v4"), root, 4)
+    got_labels = sorted(map(tuple,
+                            spark.read.parquet(f"{root}/labels/v4").collect()))
+    assert got_labels == want_labels
+
+    # crash sim: an already-merged original survives (rm step died) — the
+    # next compaction absorbs the duplicate rows without changing the set
+    spark.read.parquet(f"{root}/bands/v2").limit(50).write.parquet(
+        f"{root}/bands/v1")
+    assert ES.compact_band_index(spark, root, keep=2) == [1]
+    assert ES._version_dirs(f"{root}/bands") == [2, 3, 4]
+    assert band_rows() == before
