@@ -39,6 +39,12 @@ snapshot-versioned edge table (partition-incremental `merge_edge_snapshot`
 bytes stats printed and the final snapshot verified equal to the batch
 edge stage.
 
+``--incremental-dedup N`` does the same for NEAR-dup dedup-on-arrival:
+the corpus stage replayed as N drops through ``merge_dedup_labels``
+(durable band index + snapshot-versioned labels, keep-2 label retention
+and band compaction inline), with the final keeper set verified equal to
+the one-shot ``dedup_near``.
+
 The job is checkpoint-resumable: completed stages (durable ``_SUCCESS``
 markers) are skipped on re-run unless ``--force`` removes them first. The
 cron-retrain/scheduled-refresh pattern of the reference (BackgroundScheduler,
@@ -82,6 +88,13 @@ def main() -> int:
     ap.add_argument("--n-buckets", type=int, default=64,
                     help="bucket count for --bucketed-edges (size so one "
                          "bucket ~ one task at the target scale)")
+    ap.add_argument(
+        "--incremental-dedup", type=int, metavar="N_DROPS",
+        help="demonstrate NEAR-dup dedup-on-arrival: replay the corpus "
+             "stage as N_DROPS deltas through merge_dedup_labels "
+             "(durable band index + snapshot-versioned labels, retention "
+             "+ band compaction inline), then verify the final keeper set "
+             "equals the one-shot dedup_near exactly")
     ap.add_argument(
         "--incremental-edges", type=int, metavar="N_DROPS",
         help="additionally demonstrate the INCREMENTAL edge-table shape: "
@@ -300,6 +313,36 @@ def main() -> int:
               f"chain holds {table_bytes} bytes; a full-rewrite-per-merge "
               f"design would have written ~{n_drops}x the table)")
         if diff != 0:
+            ok = False
+    if args.incremental_dedup:
+        from pyspark.sql import functions as F
+
+        from extract_address_ner_spark.entry_queries_streaming import (
+            compact_band_index,
+            expire_label_snapshots,
+            merge_dedup_labels,
+        )
+        from extract_address_ner_spark.operators.dedup import dedup_near
+
+        droot = str(Path(args.warehouse) / "dedup_labels")
+        shutil.rmtree(droot, ignore_errors=True)
+        docs = out["corpus"].selectExpr("doc_id", "content AS text")
+        n_drops = args.incremental_dedup
+        for drop in range(n_drops):
+            merge_dedup_labels(
+                docs.filter(F.col("doc_id") % n_drops == drop), droot, drop)
+            expire_label_snapshots(droot, keep=2)
+            compact_band_index(spark, droot, keep=2)
+        labels = spark.read.parquet(f"{droot}/labels/v{n_drops - 1}")
+        inc_keep = labels.filter("doc_id = component_id").select("doc_id")
+        one_keep = dedup_near(docs).select("doc_id")
+        ddiff = (inc_keep.exceptAll(one_keep).count()
+                 + one_keep.exceptAll(inc_keep).count())
+        print(f"incremental_dedup: keepers={inc_keep.count()}/"
+              f"{labels.count()} docs over {n_drops} drops, "
+              f"keeper_set_equals_one_shot="
+              f"{'true' if ddiff == 0 else 'false'}")
+        if ddiff != 0:
             ok = False
     if args.eval_gold:
         gold = spark.read.parquet(args.eval_gold)

@@ -61,6 +61,16 @@ def test_job_entry_incremental_edges(tmp_path):
         assert f"incremental merge v{drop}: rewrote " in stdout
 
 
+def test_job_entry_incremental_dedup(tmp_path):
+    """Round-5: the shipped job can run NEAR-dup dedup-on-arrival — the
+    corpus replayed as 3 drops through merge_dedup_labels with retention
+    and band compaction inline — and its own printed check pins keeper-set
+    equality with the one-shot dedup_near."""
+    stdout = _run_job(tmp_path,
+                      ["--master", "local[2]", "--incremental-dedup", "3"])
+    assert "keeper_set_equals_one_shot=true" in stdout
+
+
 def test_job_entry_local_cluster(tmp_path):
     """The deployment shape: 2 real executor JVMs x 2 cores, quota-sized
     GC — the same master the 367k-triples/s bench leg uses."""
