@@ -39,6 +39,10 @@ snapshot-versioned edge table (partition-incremental `merge_edge_snapshot`
 bytes stats printed and the final snapshot verified equal to the batch
 edge stage.
 
+``--export-shards N`` runs the training-data EXPORT stage: the corpus as
+N deterministic hash shards (one file each, per-shard doc/BPE-token
+manifest) with a printed round-trip completeness check.
+
 ``--incremental-dedup N`` does the same for NEAR-dup dedup-on-arrival:
 the corpus stage replayed as N drops through ``merge_dedup_labels``
 (durable band index + snapshot-versioned labels, keep-2 label retention
@@ -88,6 +92,11 @@ def main() -> int:
     ap.add_argument("--n-buckets", type=int, default=64,
                     help="bucket count for --bucketed-edges (size so one "
                          "bucket ~ one task at the target scale)")
+    ap.add_argument(
+        "--export-shards", type=int, metavar="N_SHARDS",
+        help="export the corpus stage as N deterministic hash shards "
+             "(one file per shard, per-shard doc/token manifest) under "
+             "<warehouse>/shards — the training-data export stage")
     ap.add_argument(
         "--incremental-dedup", type=int, metavar="N_DROPS",
         help="demonstrate NEAR-dup dedup-on-arrival: replay the corpus "
@@ -313,6 +322,22 @@ def main() -> int:
               f"chain holds {table_bytes} bytes; a full-rewrite-per-merge "
               f"design would have written ~{n_drops}x the table)")
         if diff != 0:
+            ok = False
+    if args.export_shards:
+        from extract_address_ner_spark.operators.export import export_shards
+
+        sh_dir = str(Path(args.warehouse) / "shards")
+        shutil.rmtree(sh_dir, ignore_errors=True)
+        man = export_shards(
+            out["corpus"].selectExpr("doc_id", "content AS text"),
+            sh_dir, n_shards=args.export_shards,
+        )
+        back = spark.read.parquet(sh_dir).count()
+        print(f"export_shards: {man['total_docs']} docs / "
+              f"{man['total_tokens']} bpe-tokens into {args.export_shards} "
+              f"shards, roundtrip_complete="
+              f"{'true' if back == man['total_docs'] else 'false'}")
+        if back != man["total_docs"]:
             ok = False
     if args.incremental_dedup:
         from pyspark.sql import functions as F

@@ -71,6 +71,14 @@ def test_job_entry_incremental_dedup(tmp_path):
     assert "keeper_set_equals_one_shot=true" in stdout
 
 
+def test_job_entry_export_shards(tmp_path):
+    """Round-5: the shipped job exports the corpus as deterministic hash
+    shards with a token manifest and pins round-trip completeness."""
+    stdout = _run_job(tmp_path,
+                      ["--master", "local[2]", "--export-shards", "4"])
+    assert "roundtrip_complete=true" in stdout
+
+
 def test_job_entry_local_cluster(tmp_path):
     """The deployment shape: 2 real executor JVMs x 2 cores, quota-sized
     GC — the same master the 367k-triples/s bench leg uses."""
