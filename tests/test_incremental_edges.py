@@ -370,3 +370,30 @@ def test_compact_band_index(spark, sf_smoke, tmp_path):
     assert ES.compact_band_index(spark, root, keep=2) == [1]
     assert ES._version_dirs(f"{root}/bands") == [2, 3, 4]
     assert band_rows() == before
+
+
+def test_merge_dedup_labels_empty_batch(spark, sf_smoke, tmp_path):
+    """A foreachBatch body must survive an EMPTY micro-batch (possible
+    under non-availableNow triggers): the label chain advances with an
+    unchanged table, the (empty) band/corpus drops stay readable, and a
+    subsequent real batch merges normally."""
+    from extract_address_ner_spark.entry_queries_data import dup_documents
+
+    docs = dup_documents(spark, sf_smoke).select("doc_id", "text")
+    root = str(tmp_path / "dedup")
+    ES.merge_dedup_labels(docs.filter(F.col("doc_id") % 2 == 0), root, 0)
+    v0 = sorted(map(tuple, spark.read.parquet(f"{root}/labels/v0").collect()))
+
+    ES.merge_dedup_labels(docs.limit(0), root, 1)  # empty batch
+    v1 = sorted(map(tuple, spark.read.parquet(f"{root}/labels/v1").collect()))
+    assert v1 == v0
+    assert ES._version_dirs(f"{root}/bands") == [0, 1]
+
+    ES.merge_dedup_labels(docs.filter(F.col("doc_id") % 2 == 1), root, 2)
+    got = {r["doc_id"]: r["component_id"]
+           for r in spark.read.parquet(f"{root}/labels/v2").collect()}
+    from extract_address_ner_spark.operators import dedup
+    want = {r["doc_id"]: r["component_id"]
+            for r in dedup.connected_components(
+                docs, dedup.lsh_verified_pairs(docs)).collect()}
+    assert got == want
