@@ -37,6 +37,11 @@ def with_shard(
     concentration — the balance bound is pytest-measured, not assumed."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    if "shard" in df.columns:
+        raise ValueError(
+            "with_shard reserves the output column name 'shard' — rename "
+            "the input column"
+        )
     return df.withColumn(
         "shard",
         F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards))
@@ -118,6 +123,12 @@ def mixture_sample(
     for k, v in rates.items():
         if v < 0:
             raise ValueError(f"rate for {k!r} must be >= 0")
+    clash = {"epoch", "_n"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"mixture_sample reserves output column names {sorted(clash)} "
+            "— rename the input column(s)"
+        )
     rate = F.lit(1.0)
     for k, v in rates.items():
         rate = F.when(F.col(source_col) == F.lit(k), F.lit(float(v))) \

@@ -104,3 +104,21 @@ def test_mixture_sample_stays_narrow(spark, sf_smoke):
     out = X.mixture_sample(docs, {"web": 1.7}, "source")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_export_reserved_name_guards(spark):
+    """Inputs shadowing the operators' output columns must raise clearly
+    (the ADVICE-r04 collision rule, applied to new surface)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="shard"):
+        X.with_shard(df.withColumn("shard", F.lit(0)), 4)
+    with pytest.raises(ValueError, match="epoch"):
+        X.mixture_sample(df.withColumn("epoch", F.lit(0)),
+                         {}, "text")
+    with pytest.raises(ValueError, match="n_shards"):
+        X.with_shard(df, 0)
+    with pytest.raises(ValueError, match=">= 0"):
+        X.mixture_sample(df.withColumn("source", F.lit("a")),
+                         {"a": -0.1}, "source")
