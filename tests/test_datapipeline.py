@@ -771,3 +771,37 @@ def test_connected_components_string_ids(spark):
     got = sorted(map(tuple, dedup.connected_components(docs, pairs).collect()))
     assert got == [("a", "a"), ("b", "b"), ("c", "b"),
                    ("d", "d"), ("e", "d")]
+
+
+def test_incremental_cap_recall_sandwich(spark, sf_smoke):
+    """The probe-time bucket-cap claim on incremental_lsh_pairs, measured:
+    with a cap small enough to actually drop buckets, the union of
+    per-batch incremental pair sets is SANDWICHED — a superset of the
+    one-shot capped pairs (a bucket can emit before it outgrows the cap
+    mid-stream) and a subset of the uncapped pairs — and with cap=None it
+    EQUALS the one-shot set exactly."""
+    docs = dup_documents(spark, sf_smoke).select("doc_id", "text")
+    cap = 2
+
+    def pair_set(df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    def incremental(max_bucket_size):
+        pairs, index = set(), None
+        for k in range(3):
+            batch = docs.filter(F.col("doc_id") % 3 == k)
+            cand, nb = dedup.incremental_lsh_pairs(
+                batch, index, max_bucket_size=max_bucket_size)
+            pairs |= pair_set(cand)
+            nb = spark.createDataFrame(nb.collect(), nb.schema)
+            index = nb if index is None else index.unionByName(nb)
+        return pairs
+
+    oneshot_capped = pair_set(dedup.lsh_candidate_pairs(
+        docs, max_bucket_size=cap))
+    uncapped = pair_set(dedup.lsh_candidate_pairs(docs))
+    assert oneshot_capped < uncapped  # the cap must actually bite here
+
+    inc_capped = incremental(cap)
+    assert oneshot_capped <= inc_capped <= uncapped
+    assert incremental(None) == uncapped
