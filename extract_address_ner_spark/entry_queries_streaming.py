@@ -543,6 +543,7 @@ def merge_dedup_labels(
     os.rename(staged_c, own_corpus)
     batch = spark.read.parquet(own_corpus)
 
+    _restore_displaced_bands(root)  # heal a crashed compaction first
     prior_band_vs = [v for v in _version_dirs(f"{root}/bands")
                      if v < batch_id]
     band_index = (
@@ -563,19 +564,52 @@ def merge_dedup_labels(
         *[f"{root}/corpus/v{v}" for v in corpus_vs]
     )
 
-    from .operators.dedup import incremental_dedup_batch
+    from .operators.dedup import dedup_cache_scope, incremental_dedup_batch
 
-    new_labels, nb = incremental_dedup_batch(
-        labels, band_index, batch, corpus,
-        text_col=text_col, id_col=id_col, threshold=threshold,
-    )
-    nb.write.mode("overwrite").parquet(f"{root}/bands/v{batch_id}")
-    staged = f"{root}/labels/v{batch_id}.tmp"
-    final = f"{root}/labels/v{batch_id}"
-    shutil.rmtree(staged, ignore_errors=True)
-    new_labels.write.mode("overwrite").parquet(staged)
+    # scope the operator-held persists to THIS batch: a long-running
+    # streaming query runs thousands of micro-batches, and without the
+    # scope each batch would leak ~5 cached subplans into the CacheManager
+    # forever (the dedup module's own cache-contract — dedup.py:89)
+    with dedup_cache_scope():
+        new_labels, nb = incremental_dedup_batch(
+            labels, band_index, batch, corpus,
+            text_col=text_col, id_col=id_col, threshold=threshold,
+        )
+        nb.write.mode("overwrite").parquet(f"{root}/bands/v{batch_id}")
+        staged = f"{root}/labels/v{batch_id}.tmp"
+        final = f"{root}/labels/v{batch_id}"
+        shutil.rmtree(staged, ignore_errors=True)
+        new_labels.write.mode("overwrite").parquet(staged)
     shutil.rmtree(final, ignore_errors=True)
     os.rename(staged, final)
+
+
+def _restore_displaced_bands(root: str) -> None:
+    """Crash recovery for ``compact_band_index``'s publish window: a
+    compaction displaces the original ``v<N>`` to ``v<N>.old`` before
+    renaming the combined dir into place. If it died between those two
+    renames, the index would silently lose v<N>'s rows (``.old`` isn't a
+    listed version) — so restore any displaced original whose base dir is
+    missing, drop ``.old`` leftovers whose base exists (the combined dir
+    already holds their rows), and clear stray ``.tmp`` stages. Called
+    before every compaction AND every probe-index read; single-writer
+    maintenance assumed, like the rest of the chain."""
+    import os
+    import shutil
+
+    bands = f"{root}/bands"
+    if not os.path.isdir(bands):
+        return
+    for d in os.listdir(bands):
+        path = f"{bands}/{d}"
+        if d.endswith(".old"):
+            base = path[:-4]
+            if os.path.isdir(base):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                os.rename(path, base)
+        elif d.endswith(".tmp"):
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def compact_band_index(spark: SparkSession, root: str,
@@ -590,13 +624,16 @@ def compact_band_index(spark: SparkSession, root: str,
     (``keep >= 2`` enforced, the same replay floor as
     ``expire_label_snapshots``).
 
-    Crash safety by ordering + idempotence, not atomicity across dirs:
-    the combined dir is staged and renamed over the highest merged
-    version FIRST, then the older originals are removed. A crash between
-    those steps leaves duplicate band rows (original + combined), which
-    the probe's canonical ``dropDuplicates`` already tolerates, and
-    re-running compaction removes — the combined read is
-    ``dropDuplicates`` over (id, band_idx, band_sig), so compacting a
+    Crash safety by atomic renames + recovery + idempotence: the combined
+    dir is staged, the original ``v<high>`` is DISPLACED to ``v<high>.old``
+    (atomic rename, rows never deleted before the replacement is live),
+    the staged dir is renamed into place (atomic), and only then are the
+    ``.old`` copy and the older originals removed. The one dangerous
+    window — died between the two renames, leaving no listed ``v<high>``
+    — is healed by ``_restore_displaced_bands`` (run before every
+    compaction and every probe read); every other crash point leaves at
+    worst duplicate band rows, which the probe's canonical
+    ``dropDuplicates`` tolerates and a re-run removes, so compacting a
     half-compacted chain converges. Returns the removed version ids."""
     import os
     import shutil
@@ -605,6 +642,7 @@ def compact_band_index(spark: SparkSession, root: str,
         raise ValueError(
             "keep must be >= 2 — the last batch must stay replayable"
         )
+    _restore_displaced_bands(root)
     versions = _version_dirs(f"{root}/bands")
     to_merge = versions[:-keep] if len(versions) > keep else []
     if len(to_merge) < 2:
@@ -617,8 +655,11 @@ def compact_band_index(spark: SparkSession, root: str,
     shutil.rmtree(staged, ignore_errors=True)
     combined.write.mode("overwrite").parquet(staged)
     final = f"{root}/bands/v{high}"
-    shutil.rmtree(final, ignore_errors=True)
+    displaced = f"{final}.old"
+    shutil.rmtree(displaced, ignore_errors=True)
+    os.rename(final, displaced)
     os.rename(staged, final)
+    shutil.rmtree(displaced, ignore_errors=True)
     removed = [v for v in to_merge if v != high]
     for v in removed:
         shutil.rmtree(f"{root}/bands/v{v}", ignore_errors=True)

@@ -74,11 +74,15 @@ def export_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
-    # counters only to the driver: n_shards rows of (docs, tokens)
+    # counters only to the driver: n_shards rows of (docs, tokens). Stats
+    # read the WRITTEN files, not the input lineage — one cheap columnar
+    # scan instead of recomputing a possibly-expensive upstream twice, and
+    # the manifest provably describes the bytes on disk.
     stats = {
         int(r["shard"]): {"docs": int(r["docs"]), "tokens": int(r["tokens"])}
         for r in with_token_stats(
-            sharded.select("shard", text_col), text_col
+            df.sparkSession.read.parquet(out_dir).select("shard", text_col),
+            text_col,
         )
         .groupBy("shard")
         .agg(

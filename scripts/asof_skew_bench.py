@@ -64,8 +64,9 @@ def main() -> None:
             j = asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
                           right_cols=["rid"], tiebreak="rid",
                           time_chunk=time_chunk)
+            j.write.format("noop").mode("overwrite").save()  # warm-up only
             best = None
-            for _ in range(3):  # warm-up + best-of-2
+            for _ in range(2):  # best-of-2, warm-up excluded
                 t0 = time.monotonic()
                 j.write.format("noop").mode("overwrite").save()
                 dt = time.monotonic() - t0

@@ -397,3 +397,46 @@ def test_merge_dedup_labels_empty_batch(spark, sf_smoke, tmp_path):
             for r in dedup.connected_components(
                 docs, dedup.lsh_verified_pairs(docs)).collect()}
     assert got == want
+
+
+def test_compact_band_index_rename_window_recovery(spark, sf_smoke, tmp_path):
+    """The one dangerous compaction crash window — original displaced to
+    .old, combined dir not yet published — must self-heal on the next
+    probe read or compaction (code-review finding r05: without recovery,
+    the index silently lost v<high>'s rows forever)."""
+    import os
+
+    from extract_address_ner_spark.entry_queries_data import dup_documents
+
+    docs = dup_documents(spark, sf_smoke).select("doc_id", "text")
+    root = str(tmp_path / "dedup")
+    for part in range(4):
+        ES.merge_dedup_labels(
+            docs.filter(F.col("doc_id") % 4 == part), root, part)
+    vs = ES._version_dirs(f"{root}/bands")
+
+    def band_rows():
+        cur = ES._version_dirs(f"{root}/bands")
+        return sorted(map(tuple, spark.read.parquet(
+            *[f"{root}/bands/v{v}" for v in cur]).dropDuplicates().collect()))
+
+    before = band_rows()
+    # simulate: crash between rename(final, .old) and rename(staged, final)
+    os.rename(f"{root}/bands/v1", f"{root}/bands/v1.old")
+    assert ES._version_dirs(f"{root}/bands") != vs  # the loss is real...
+    ES._restore_displaced_bands(root)               # ...and healed
+    assert ES._version_dirs(f"{root}/bands") == vs
+    assert band_rows() == before
+
+    # the heal also runs implicitly: displace again, then a REPLAY of the
+    # last batch (the probe-read path) must see the full index
+    os.rename(f"{root}/bands/v1", f"{root}/bands/v1.old")
+    want = sorted(map(tuple,
+                      spark.read.parquet(f"{root}/labels/v3").collect()))
+    import shutil
+    shutil.rmtree(f"{root}/labels/v3")
+    ES.merge_dedup_labels(spark.read.parquet(f"{root}/corpus/v3"), root, 3)
+    got = sorted(map(tuple,
+                     spark.read.parquet(f"{root}/labels/v3").collect()))
+    assert got == want
+    assert ES._version_dirs(f"{root}/bands") == vs
