@@ -62,7 +62,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from extract_address_ner_spark import entry_queries as EQ  # noqa: E402
 from extract_address_ner_spark import entry_queries_data  # noqa: E402,F401
 from extract_address_ner_spark.session import get_spark  # noqa: E402
-from scripts.hostbw import BusMonitor, copy_gbps, wait_for_bw  # noqa: E402
+from scripts.hostbw import (  # noqa: E402
+    BusMonitor,
+    copy_gbps,
+    median_of,
+    wait_for_bw,
+)
 
 # A trial is clean iff pre AND post bus rates are >= this (GB/s). The host's
 # bimodal states: 4.5-5.8 quiet, 2.4-2.9 sustained-moderate, 0.1-0.5
@@ -349,16 +354,10 @@ def main() -> None:
     query_stats: dict[str, dict] = {}
     for name in HEADLINE:
         r = recs[name]
-        trials = sorted(r["trials"])
-        mid = len(trials) // 2
-        median = (
-            trials[mid] if len(trials) % 2
-            else round((trials[mid - 1] + trials[mid]) / 2, 3)
-        )
         query_stats[name] = {
             "best": round(r["best"], 3),
-            "median": median,
-            "n_trials": len(trials),
+            "median": median_of(r["trials"]),
+            "n_trials": len(r["trials"]),
         }
         if r["best_clean"] is not None:
             timings[name] = round(r["best_clean"], 3)
@@ -394,13 +393,18 @@ def main() -> None:
         wait_for_bw(min_gbps=BW_CLEAN_GBPS, max_wait_s=_wait_budget(300))
         kg2 = _kg_subprocess(bench_rows, cpus,
                              wait_budget_s=_wait_budget(360))
+        # carry BOTH subprocesses' trials whichever record wins — the
+        # variance report (VERDICT r04 #4) must reflect every measured
+        # duration, not just the winning attempt's (round-5 code review)
+        all_trials = (kg.get("trials") or [kg["sec"]]) + \
+            (kg2.get("trials") or [kg2["sec"]])
         if not kg2.get("contended") or kg2["sec"] < kg["sec"]:
             kg = kg2
+        kg["trials"] = all_trials
     def _stats_from(kg_rec: dict) -> dict:
-        tr = sorted(kg_rec.get("trials") or [kg_rec["sec"]])
-        mid = len(tr) // 2
-        med = tr[mid] if len(tr) % 2 else round((tr[mid - 1] + tr[mid]) / 2, 3)
-        return {"best": round(min(tr), 3), "median": med, "n_trials": len(tr)}
+        tr = kg_rec.get("trials") or [kg_rec["sec"]]
+        return {"best": round(min(tr), 3), "median": median_of(tr),
+                "n_trials": len(tr)}
 
     n_triples = kg["n_triples"]
     triples_sec = kg["sec"]
@@ -451,9 +455,12 @@ def main() -> None:
         _wait_quiet(threshold=2.0, max_wait_s=_wait_budget(300))
         wait_for_bw(min_gbps=BW_CLEAN_GBPS, max_wait_s=_wait_budget(300))
         kg_lc2 = _run_lc()
-        if kg_lc2 and (not kg_lc2.get("contended")
-                       or kg_lc2["sec"] < kg_lc["sec"]):
-            kg_lc = kg_lc2
+        if kg_lc2:
+            all_lc = (kg_lc.get("trials") or [kg_lc["sec"]]) + \
+                (kg_lc2.get("trials") or [kg_lc2["sec"]])
+            if not kg_lc2.get("contended") or kg_lc2["sec"] < kg_lc["sec"]:
+                kg_lc = kg_lc2
+            kg_lc["trials"] = all_lc
     if kg_lc:
         query_stats["kg_triples_synth_lc"] = _stats_from(kg_lc)
     if kg_lc and kg_lc.get("contended"):

@@ -373,9 +373,14 @@ def merge_edge_snapshot(delta: DataFrame, edges_root: str,
     if prev_manifest is not None:
         n_buckets = prev_manifest["n_buckets"]  # layout is chain-wide
 
+    # EAGER lineage truncation (round-5 code review): the delta plan —
+    # typically the whole extract→canonicalize→link chain over the
+    # micro-batch — is consumed TWICE below (touched-bucket collect, then
+    # the staged write); unpersisted it would run end-to-end twice per
+    # batch. The delta is micro-batch-sized, so checkpointing it is cheap.
     delta = delta.select(*MERGE_KEYS, "confidence").withColumn(
         "bucket", _edge_bucket(n_buckets)
-    )
+    ).localCheckpoint()
     # touched-bucket set: ≤ n_buckets scalars to the driver, never row data
     touched = sorted(
         r["bucket"] for r in delta.select("bucket").distinct().collect()

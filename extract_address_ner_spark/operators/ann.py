@@ -318,6 +318,35 @@ def read_ivf_centroids(spark, index_dir: str) -> DataFrame:
     )
 
 
+def _restore_displaced_clusters(index_dir: str) -> None:
+    """Crash recovery for the per-cluster compaction swap (round-5 code
+    review): a compaction displaces ``cluster_id=<c>`` to
+    ``cluster_id=<c>.old`` before renaming the compacted dir into place.
+    If it died between the two renames, the cluster's vectors exist only
+    in the ``.old`` dir — restore it; if both exist (died before the
+    final cleanup), drop the ``.old`` copy (the compacted dir holds the
+    same rows); clear stray ``.tmp`` stages. Run before compaction and
+    before index reads; a ``.old`` dir left in place would not only lose
+    vectors but also break partition discovery (string-typed
+    cluster_id)."""
+    import os
+    import shutil
+
+    vdir = f"{index_dir}/vectors"
+    if not os.path.isdir(vdir):
+        return
+    for d in os.listdir(vdir):
+        path = f"{vdir}/{d}"
+        if d.endswith(".old"):
+            base = path[:-4]
+            if os.path.isdir(base):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                os.rename(path, base)
+        elif d.endswith(".tmp"):
+            shutil.rmtree(path, ignore_errors=True)
+
+
 def append_to_ivf_index(
     spark,
     index_dir: str,
@@ -353,6 +382,7 @@ def append_to_ivf_index(
     import os
     import shutil
 
+    _restore_displaced_clusters(index_dir)  # heal a crashed compaction
     cents = read_ivf_centroids(spark, index_dir)
     assign = ivf_assign(new_emb, cents, id_col, vec_col)
     touched = [
@@ -409,9 +439,8 @@ def ivf_topk_from_index(
     ids — query batches are small by definition) so the IN-list is a
     literal partition predicate; keeping it as a join would shuffle or
     broadcast but could NOT partition-prune a static literal-less scan."""
-    cents = spark.read.parquet(f"{index_dir}/centroids").select(
-        "centroid_id", F.col("centroid_vec").alias("_ctv")
-    )
+    _restore_displaced_clusters(index_dir)  # heal a crashed compaction
+    cents = read_ivf_centroids(spark, index_dir)
     qs = (
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
         .crossJoin(F.broadcast(cents))

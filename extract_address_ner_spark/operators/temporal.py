@@ -85,6 +85,15 @@ def asof_join(
             f"asof_join reserves internal column names {sorted(clash)} — "
             "rename the input column(s) before joining"
         )
+    # the OUTPUT names collide too if a left column equals prefix+right_col
+    # (round-5 code review): the final select would emit two columns with
+    # the same name — fail loudly instead
+    out_clash = {f"{prefix}{c}" for c in rcols} & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"asof_join output column(s) {sorted(out_clash)} collide with "
+            "left columns — pass a different prefix or rename"
+        )
     payload = F.struct(*[F.col(c) for c in rcols])
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
     rs = right.select(

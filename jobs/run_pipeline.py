@@ -313,8 +313,12 @@ def main() -> int:
                   f"{man['n_buckets']} buckets, {vbytes} bytes")
         final = read_edge_snapshot(spark, snap_root)
         batch = out["edges"].select("subj", "pred", "obj", "confidence")
-        diff = (final.exceptAll(batch).count()
-                + batch.exceptAll(final).count())
+        if final is None:
+            # all deltas empty → empty snapshot; equal iff batch is empty
+            diff = batch.count()
+        else:
+            diff = (final.exceptAll(batch).count()
+                    + batch.exceptAll(final).count())
         table_bytes = _dir_bytes(snap_root)
         print(f"incremental_edges: final_snapshot_equals_batch="
               f"{'true' if diff == 0 else 'false'} "

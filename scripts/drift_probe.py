@@ -10,15 +10,17 @@ baselines with clean-but-borderline bus probes. Two candidate causes:
 - genuine operator regressions.
 
 This probe separates the two by timing ONLY the drifted queries in a fresh
-JVM (bench-identical methodology: warm-up then N timed trials, cache
-cleared between trials, bracketing bus probes). If fresh-JVM solo times
+JVM (warm-up then N timed trials, cache cleared between trials, a bus
+probe BEFORE EVERY trial plus one after the last — a storm that arrives
+and leaves inside the window is flagged, not laundered into a clean
+reading; round-5 code review). If fresh-JVM solo times
 return to ~r01 levels while in-suite times stay high, the drift is JVM
 profile pollution — a fixed per-suite cost that amortizes to zero at 100 TB
 — not an operator regression.
 
 Usage: python scripts/drift_probe.py [sf_dir] [n_trials]
 Prints one JSON line {query: {"best": s, "median": s, "trials": [...],
-"bw": [pre, post]}}.
+"bw": [per-trial pre rates..., post], "contended": bool}}.
 """
 
 import json
@@ -32,7 +34,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from extract_address_ner_spark import entry_queries as EQ  # noqa: E402
 from extract_address_ner_spark import entry_queries_data  # noqa: E402,F401
 from extract_address_ner_spark.session import get_spark  # noqa: E402
-from scripts.hostbw import copy_gbps, wait_for_bw  # noqa: E402
+from scripts.hostbw import copy_gbps, median_of, wait_for_bw  # noqa: E402
 
 DRIFTED = [
     "text_quality_score",
@@ -58,22 +60,20 @@ def main() -> None:
     for name in DRIFTED:
         fn = qmap[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        trials = []
-        bw_pre = copy_gbps(samples=1)
+        trials, bws = [], []
         for _ in range(n_trials):
+            bws.append(copy_gbps(samples=1))  # probe EVERY trial boundary
             spark.catalog.clearCache()
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials.append(round(time.monotonic() - t0, 3))
-        bw_post = copy_gbps(samples=1)
-        st = sorted(trials)
-        mid = len(st) // 2
-        med = st[mid] if len(st) % 2 else round((st[mid - 1] + st[mid]) / 2, 3)
+        bws.append(copy_gbps(samples=1))
         out[name] = {
             "best": min(trials),
-            "median": med,
+            "median": median_of(trials),
             "trials": trials,
-            "bw": [round(bw_pre, 1), round(bw_post, 1)],
+            "bw": [round(b, 1) for b in bws],
+            "contended": min(bws) < 3.0,
         }
     print(json.dumps(out))
     spark.stop()

@@ -122,3 +122,13 @@ def wait_for_bw(min_gbps: float = 2.0, max_wait_s: int = 600,
         if time.monotonic() >= deadline:
             return copy_gbps()
         time.sleep(10)
+
+
+def median_of(values) -> float:
+    """Median with the repo's reporting convention (even case: mean of the
+    two mid values rounded to 3dp) — ONE implementation shared by bench.py
+    (headline + KG-leg stats) and drift_probe so the three reports stay
+    comparable (round-5 code review: three hand-rolled copies)."""
+    t = sorted(values)
+    mid = len(t) // 2
+    return t[mid] if len(t) % 2 else round((t[mid - 1] + t[mid]) / 2, 3)

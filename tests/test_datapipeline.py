@@ -805,3 +805,29 @@ def test_incremental_cap_recall_sandwich(spark, sf_smoke):
     inc_capped = incremental(cap)
     assert oneshot_capped <= inc_capped <= uncapped
     assert incremental(None) == uncapped
+
+
+def test_ivf_displaced_cluster_recovery(spark, sf_correct, tmp_path):
+    """Round-5 code review: the per-cluster compaction swap's crash window
+    (original displaced to .old, compacted dir not yet renamed in) must
+    self-heal on the next read or append — without recovery the cluster's
+    vectors silently vanish from every probe AND the .old dir breaks
+    partition discovery."""
+    import glob
+    import os
+
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    idx = str(tmp_path / "ivf_r")
+    ann.write_ivf_index(emb, idx, n_centroids=32, refine=1)
+    want = sorted(
+        map(tuple, ann.ivf_topk_from_index(spark, idx, queries, k=10,
+                                           nprobe=6).collect()))
+
+    victim = sorted(glob.glob(f"{idx}/vectors/cluster_id=*"))[0]
+    os.rename(victim, victim + ".old")  # simulated mid-swap crash
+    got = sorted(
+        map(tuple, ann.ivf_topk_from_index(spark, idx, queries, k=10,
+                                           nprobe=6).collect()))
+    assert got == want
+    assert os.path.isdir(victim) and not os.path.isdir(victim + ".old")

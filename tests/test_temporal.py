@@ -61,6 +61,11 @@ def test_asof_join_rejects_reserved_column_names(spark):
     with pytest.raises(ValueError, match="reserve"):
         asof_join(left.withColumn("_l_id", F.lit(1)), right,
                   on=["k"], left_ts="t", right_ts="t")
+    # OUTPUT collision (round-5 code review): a left column equal to
+    # prefix+right_col would silently duplicate the output name
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left.withColumn("r_rid", F.lit(1)), right,
+                  on=["k"], left_ts="t", right_ts="t", right_cols=["rid"])
 
 
 def test_asof_join_skewed_key_wall_time(spark):
