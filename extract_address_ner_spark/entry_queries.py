@@ -598,6 +598,46 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_built_edges(spark, sf_dir), iterations=3)
 
 
+def gold_khop_sql(k: int = 3) -> str:
+    """Min-hop reachability as a DuckDB RECURSIVE CTE: the working table
+    carries (node, hops), recursion is capped at hops < k (hops strictly
+    increases, so cycles terminate), and min(hops) per node is the BFS
+    distance — exactly the operator's frontier-BFS semantics."""
+    return f"""
+WITH RECURSIVE _edges AS ({gold_edges_sql()}),
+ed AS (SELECT DISTINCT subj AS u, obj AS v FROM _edges),
+m AS (SELECT DISTINCT subj AS node, split_part(subj, ':', 1) AS repo
+      FROM _edges WHERE pred = 'mentions_address'),
+seeds AS (SELECT node FROM m WHERE repo = (SELECT min(repo) FROM m)),
+reach(node, hops) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT ed.v, r.hops + 1 FROM reach r JOIN ed ON ed.u = r.node
+  WHERE r.hops < {k})
+SELECT node, CAST(min(hops) AS INT) AS hops FROM reach GROUP BY node"""
+
+
+@register("graph_khop", gold_khop_sql(), driver=False)
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop neighborhood of the lexicographically-first repo's file nodes
+    (file → address → region → parent region), as (node, min hops) — the
+    frontier-BFS reachability operator (graph_query.k_hop_reachability).
+    Pytest-carried (driver registry is at its 50-entry cap;
+    tests/test_registry_oracles.py replays this against the recursive-CTE
+    oracle exactly the way the driver would)."""
+    from .operators.dedup import _persist
+    from .operators.graph_query import MENTIONS, k_hop_reachability
+
+    edges = _persist(_built_edges(spark, sf_dir))  # feeds seeds + BFS
+    m = edges.filter(F.col("pred") == MENTIONS).select(
+        F.col("subj").alias("node"),
+        F.substring_index("subj", ":", 1).alias("repo"),
+    )
+    min_repo = m.agg(F.min("repo").alias("repo"))
+    seeds = m.join(F.broadcast(min_repo), "repo").select("node")
+    return k_hop_reachability(edges, seeds, k=3)
+
+
 # cross-engine edge checksum term: md5-bridge of 'subj|pred|obj', reduced
 # mod M31 so the sum over all edges stays in BIGINT range under ANSI mode
 _EDGE_CK_SPARK = (

@@ -126,6 +126,61 @@ def region_rollup(edges: DataFrame) -> DataFrame:
     )
 
 
+def k_hop_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+) -> DataFrame:
+    """(node, hops): every node reachable from ``seeds`` in at most ``k``
+    directed hops, with ``hops`` = the MINIMUM hop count (seeds themselves
+    at 0) — the neighborhood/reachability query every KG consumer asks
+    right after degrees ("everything within 3 hops of this repo's files").
+    ``seeds`` is a one-column DataFrame (``node``); duplicates are fine.
+
+    Frontier BFS over the distinct (src, dst) pairs: per round exactly one
+    shuffle-join of the CURRENT FRONTIER (only the nodes discovered last
+    round, never the whole visited set) against the edge list keyed on src,
+    plus one anti-join against the visited set — so per-round shuffle
+    volume is ∝ frontier out-edges, and the visited set is touched only as
+    the anti-join's build side. The loop early-exits when a round
+    discovers nothing (diameter < k), checked on the round's
+    ``localCheckpoint``-ed frontier — the same per-round plan-truncation
+    discipline as ``connected_components_star`` (dedup.py), because a
+    k-deep lazy BFS would otherwise nest k joins into one Catalyst tree
+    (and re-run round 1 k times under the per-round emptiness action).
+    Nothing is collected to the driver; the only per-round driver scalar
+    is the emptiness probe. Oracle: DuckDB recursive CTE with the same
+    hops-capped min-hop semantics (entry_queries.gold_khop_sql)."""
+    ed = _persist(
+        edges.select(
+            F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+        ).distinct()
+    )
+    frontier = (
+        seeds.select(F.col("node")).distinct()
+        .withColumn("hops", F.lit(0)).localCheckpoint()
+    )
+    visited = frontier
+    for i in range(1, k + 1):
+        nxt = (
+            frontier.join(ed, frontier["node"] == ed["_u"])
+            .select(F.col("_v").alias("node"))
+            .distinct()
+        )
+        new = (
+            nxt.join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(i))
+            .localCheckpoint()  # truncate the per-round plan
+        )
+        if new.limit(1).count() == 0:  # frontier died: diameter < k
+            break
+        visited = visited.unionByName(new)
+        frontier = new
+    return visited.select("node", F.col("hops").cast("int").alias("hops"))
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,

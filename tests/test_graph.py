@@ -341,3 +341,37 @@ def test_pagerank_confidence_weighted(spark):
         }
     for v in nodes:
         assert got[v] == round(pr[v], 6), (v, got[v], pr[v])
+
+
+def test_k_hop_reachability_min_hops(spark):
+    """k_hop_reachability (round 5) on a planted graph exercising the BFS
+    invariants: min-hop wins when two paths reach the same node (diamond),
+    cycles don't loop (a→b→…→a), nodes past k hops stay out, and the
+    early-exit fires when the frontier dies before k."""
+    rows = [
+        ("s", "p", "a"), ("s", "p", "b"),       # hop 1
+        ("a", "p", "t"),                          # t at hop 2 via a
+        ("b", "p", "c"), ("c", "p", "t"),        # …and hop 3 via b→c: min=2
+        ("t", "p", "s"),                          # cycle back to the seed
+        ("t", "p", "far"), ("far", "p", "beyond"),  # hop 3, 4
+        ("x", "p", "y"),                          # unreachable island
+    ]
+    edges = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    from extract_address_ner_spark.operators.graph_query import (
+        k_hop_reachability,
+    )
+
+    got = {r["node"]: r["hops"]
+           for r in k_hop_reachability(edges, seeds, k=3).collect()}
+    assert got == {"s": 0, "a": 1, "b": 1, "t": 2, "c": 2, "far": 3}
+    # k past the diameter: early-exit, full reachable closure, island out
+    got6 = {r["node"]: r["hops"]
+            for r in k_hop_reachability(edges, seeds, k=6).collect()}
+    assert got6 == {**got, "beyond": 4}
+    assert "x" not in got6 and "y" not in got6
+    # duplicate seed rows collapse; a seed node reached again keeps hops=0
+    dup_seeds = spark.createDataFrame([("s",), ("s",)], "node string")
+    assert {r["node"]: r["hops"]
+            for r in k_hop_reachability(edges, dup_seeds, k=3).collect()
+            } == got
