@@ -638,6 +638,108 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_hop_reachability(edges, seeds, k=3)
 
 
+def gold_comention_sql(cap: int = 100) -> str:
+    """Repo-level address co-mention projection: rank-capped per-repo
+    address sets self-joined on repo with addr_a < addr_b — identical cap
+    and tie-break rule as operators/graph_query.comention_pairs."""
+    return f"""
+WITH _edges AS ({gold_edges_sql()}),
+m AS (SELECT split_part(subj, ':', 1) AS repo, obj AS addr
+      FROM _edges WHERE pred = 'mentions_address'),
+c AS (SELECT repo, addr, count(*) AS nf FROM m GROUP BY 1, 2),
+k AS (SELECT repo, addr FROM
+        (SELECT *, row_number() OVER
+           (PARTITION BY repo ORDER BY nf DESC, addr) AS rk FROM c)
+      WHERE rk <= {cap})
+SELECT a.addr AS addr_a, b.addr AS addr_b,
+       CAST(count(*) AS BIGINT) AS n_repos
+FROM k a JOIN k b ON a.repo = b.repo AND a.addr < b.addr
+GROUP BY 1, 2"""
+
+
+@register("graph_comention", gold_comention_sql(), driver=False)
+def q_graph_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Address–address co-mention projection of the built KG (related-
+    entities read; operators/graph_query.comention_pairs). Pytest-carried
+    (driver registry is at its 50-entry cap; tests/test_registry_oracles.py
+    replays this against the oracle exactly the way the driver would)."""
+    from .operators.graph_query import comention_pairs
+
+    return comention_pairs(_built_edges(spark, sf_dir))
+
+
+def gold_integrity_sql() -> str:
+    """The eight structural-invariant counts as independent scalar
+    subqueries over the gold edge/node tables — same check definitions as
+    operators/graph_query.integrity_report, with the ontology rule set
+    rendered from the SAME graph_query.ONTOLOGY constant so the two
+    engines cannot drift, and the same static-dimension orphan exemption
+    (admin_region vocabulary entries nothing references yet are expected,
+    not corruption). NOT IN is NULL-safe here: node ids, types and
+    predicates are never NULL by construction."""
+    from .operators.graph_query import ONTOLOGY
+
+    preds = ", ".join(
+        f"'{p}'" for p in sorted({p for p, _s, _o in ONTOLOGY})
+    )
+    rules = ", ".join(f"('{p}', '{s}', '{o}')" for p, s, o in ONTOLOGY)
+    return f"""
+WITH _edges AS ({gold_edges_sql()}),
+_nodes AS ({gold_nodes_sql()}),
+ep AS (SELECT subj AS node, 'subj' AS role FROM _edges
+       UNION ALL SELECT obj, 'obj' FROM _edges),
+nid AS (SELECT DISTINCT node_id AS node FROM _nodes)
+SELECT "check", CAST(n AS BIGINT) AS n FROM (
+  SELECT 'dangling_subj' AS "check",
+    (SELECT count(*) FROM ep WHERE role = 'subj'
+       AND node NOT IN (SELECT node FROM nid)) AS n
+  UNION ALL SELECT 'dangling_obj',
+    (SELECT count(*) FROM ep WHERE role = 'obj'
+       AND node NOT IN (SELECT node FROM nid))
+  UNION ALL SELECT 'orphan_node',
+    (SELECT count(*) FROM
+       (SELECT DISTINCT node_id, node_type FROM _nodes) nn
+       WHERE nn.node_id NOT IN (SELECT node FROM ep)
+         AND nn.node_type NOT IN ('admin_region'))
+  UNION ALL SELECT 'duplicate_triple',
+    (SELECT coalesce(sum(c - 1), 0) FROM
+       (SELECT count(*) AS c FROM _edges GROUP BY subj, pred, obj)
+       WHERE c > 1)
+  UNION ALL SELECT 'self_loop',
+    (SELECT count(*) FROM _edges WHERE subj = obj)
+  UNION ALL SELECT 'confidence_out_of_range',
+    (SELECT count(*) FROM _edges
+       WHERE confidence IS NULL OR confidence <= 0 OR confidence > 1)
+  UNION ALL SELECT 'unknown_pred',
+    (SELECT count(*) FROM _edges WHERE pred NOT IN ({preds}))
+  UNION ALL SELECT 'domain_range_violation',
+    (SELECT count(*) FROM _edges e
+       JOIN (SELECT DISTINCT node_id, node_type FROM _nodes) s
+         ON s.node_id = e.subj
+       JOIN (SELECT DISTINCT node_id, node_type FROM _nodes) o
+         ON o.node_id = e.obj
+     WHERE e.pred IN ({preds})
+       AND (e.pred, s.node_type, o.node_type) NOT IN ({rules}))
+)"""
+
+
+@register("graph_integrity", gold_integrity_sql(), driver=False)
+def q_graph_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG validation stage over the built graph: the eight-row structural
+    integrity report (operators/graph_query.integrity_report). A clean
+    build — which this is — returns all-zero counts; the nonzero detection
+    paths are pinned on a planted corrupt graph in tests/test_graph.py.
+    Pytest-carried (driver registry is at its 50-entry cap;
+    tests/test_registry_oracles.py replays this against the oracle exactly
+    the way the driver would)."""
+    from .operators.dedup import _persist
+    from .operators.graph_query import integrity_report
+
+    m = extract_mentions(C.corpus_from_documents(spark, sf_dir))
+    canon = _persist(canonicalize_mentions(road_address_gate(m)))
+    return integrity_report(build_edges(canon), build_nodes(canon))
+
+
 # cross-engine edge checksum term: md5-bridge of 'subj|pred|obj', reduced
 # mod M31 so the sum over all edges stays in BIGINT range under ANSI mode
 _EDGE_CK_SPARK = (

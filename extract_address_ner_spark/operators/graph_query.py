@@ -181,6 +181,202 @@ def k_hop_reachability(
     return visited.select("node", F.col("hops").cast("int").alias("hops"))
 
 
+#: The built KG's ontology: allowed (pred, subj node_type, obj node_type)
+#: triples — files mention addresses; addresses sit in admin regions;
+#: regions roll up to parent regions. integrity_report's default rule set,
+#: mirrored verbatim in the DuckDB oracle (entry_queries.gold_integrity_sql).
+ONTOLOGY: tuple[tuple[str, str, str], ...] = (
+    (MENTIONS, "file", "address"),
+    (LOCATED_IN, "address", "admin_region"),
+    (LOCATED_IN, "admin_region", "admin_region"),
+)
+
+#: concat_ws separator for the (pred, subj_type, obj_type) membership test
+#: — never appears in predicate or type names.
+_SEP = "\x00"
+
+
+def integrity_report(
+    edges: DataFrame,
+    nodes: DataFrame,
+    ontology: tuple[tuple[str, str, str], ...] = ONTOLOGY,
+    orphan_exempt_types: tuple[str, ...] = ("admin_region",),
+) -> DataFrame:
+    """(check, n): the KG validation stage — eight structural invariants
+    any production construction pipeline asserts before publishing a graph
+    build. Checks: ``dangling_subj`` / ``dangling_obj`` (edge endpoints
+    absent from the node table), ``orphan_node`` (nodes no edge touches —
+    static-dimension types, default the admin-region dictionary, are
+    EXEMPT: an unreferenced vocabulary entry is expected, not corruption),
+    ``duplicate_triple`` (excess copies beyond the first of each (subj,
+    pred, obj)), ``self_loop`` (subj = obj), ``confidence_out_of_range``
+    (confidence NULL or outside (0, 1]), ``unknown_pred`` (predicate not
+    declared in the ``ontology``), and ``domain_range_violation``
+    (known-pred edges whose resolved (subj node_type, obj node_type) pair
+    the ontology doesn't allow — endpoints that don't resolve are counted
+    by the dangling checks, not double-counted here). Always exactly
+    eight rows, counts possibly 0 — a clean build returns all zeros,
+    which IS the assertion.
+
+    Scale shape: the two dangling checks share ONE anti-join — edge
+    endpoints are unpivoted to (node, role) first, so one shuffle-join
+    against the node-id set covers both directions instead of two
+    edge-sized joins. The orphan check anti-joins the (distinct) node-id
+    set against the same unpivoted endpoints. ``self_loop``,
+    ``confidence_out_of_range`` and ``unknown_pred`` fold into a single
+    conditional-aggregate pass over the edge table (map-side partial
+    aggregation, one row out; the pred membership test is a pure
+    expression — the rule set is tiny). ``duplicate_triple`` is the
+    irreducible groupBy(subj, pred, obj) — partial counts map-side,
+    excess = Σ(count−1) over groups with count > 1. The domain/range leg
+    is the one typed lookup: two shuffle-joins edge→node_type (the node
+    table is O(nodes), too big to broadcast at scale — the irreducible
+    type-resolution shape), then the allowed-triple test as a pure
+    expression, no rules join. Every leg reduces to a SCALAR, the
+    one-row legs are cross-joined into one wide row (so each leg executes
+    exactly once, in one job, with no driver-side collection), and
+    ``stack`` unpivots it to the eight-row report. The edges input feeds
+    five legs and is persisted (scope-aware, see dedup.dedup_cache_scope),
+    as is the distinct (node_id, node_type) projection feeding three."""
+    ed = _persist(edges)
+    nt = _persist(nodes.select("node_id", "node_type").distinct())
+    node_ids = nt.select(F.col("node_id").alias("node")).distinct()
+    known_preds = sorted({p for p, _s, _o in ontology})
+    allowed = [f"{p}{_SEP}{s}{_SEP}{o}" for p, s, o in ontology]
+    endpoints = ed.select(
+        F.col("subj").alias("node"), F.lit("subj").alias("role")
+    ).unionByName(
+        ed.select(F.col("obj").alias("node"), F.lit("obj").alias("role"))
+    )
+
+    dangling = endpoints.join(node_ids, "node", "left_anti").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("role") == "subj", 1)), F.lit(0)
+        ).alias("_ds"),
+        F.coalesce(
+            F.sum(F.when(F.col("role") == "obj", 1)), F.lit(0)
+        ).alias("_do"),
+    )
+    orphan = (
+        nt.filter(~F.col("node_type").isin(list(orphan_exempt_types)))
+        .select(F.col("node_id").alias("node"))
+        .distinct()
+        .join(endpoints.select("node").distinct(), "node", "left_anti")
+        .agg(F.count(F.lit(1)).alias("_on"))
+    )
+    dup = (
+        ed.groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .agg(F.coalesce(F.sum(F.col("_c") - 1), F.lit(0)).alias("_dup"))
+    )
+    row_checks = ed.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("subj") == F.col("obj"), 1)), F.lit(0)
+        ).alias("_sl"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("confidence").isNull()
+                    | (F.col("confidence") <= 0)
+                    | (F.col("confidence") > 1),
+                    1,
+                )
+            ),
+            F.lit(0),
+        ).alias("_cr"),
+        F.coalesce(
+            F.sum(F.when(~F.col("pred").isin(known_preds), 1)), F.lit(0)
+        ).alias("_up"),
+    )
+    st = nt.select(
+        F.col("node_id").alias("subj"), F.col("node_type").alias("_st")
+    )
+    ot = nt.select(
+        F.col("node_id").alias("obj"), F.col("node_type").alias("_ot")
+    )
+    domain_range = (
+        ed.filter(F.col("pred").isin(known_preds))
+        .join(st, "subj")
+        .join(ot, "obj")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        ~F.concat_ws(
+                            _SEP, F.col("pred"), F.col("_st"), F.col("_ot")
+                        ).isin(allowed),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            ).alias("_dr")
+        )
+    )
+    wide = (
+        dangling.crossJoin(orphan)
+        .crossJoin(dup)
+        .crossJoin(row_checks)
+        .crossJoin(domain_range)
+    )
+    return wide.select(
+        F.expr(
+            "stack(8,"
+            " 'dangling_subj', _ds, 'dangling_obj', _do,"
+            " 'orphan_node', _on, 'duplicate_triple', _dup,"
+            " 'self_loop', _sl, 'confidence_out_of_range', _cr,"
+            " 'unknown_pred', _up, 'domain_range_violation', _dr"
+            ") AS (check, n)"
+        )
+    ).select("check", F.col("n").cast("long").alias("n"))
+
+
+def comention_pairs(edges: DataFrame, cap: int = 100) -> DataFrame:
+    """(addr_a, addr_b, n_repos): the co-mention projection of the
+    bipartite file→address graph at repo granularity — two canonical
+    addresses are related when at least one repo mentions both, weighted
+    by how many repos do. The "related entities" read every KG consumer
+    builds next after top-k: it turns mention edges into an
+    address–address similarity graph (input to clustering, recommendations,
+    region-mix analysis). Pairs are emitted once with ``addr_a < addr_b``.
+
+    Scale shape: the naive projection self-joins mentions on the repo key
+    — a mega-repo mentioning m addresses emits m²/2 pairs, the classic
+    hot-key quadratic blowup (same failure mode as an uncapped LSH
+    bucket, dedup.py). Defense in the same style: per repo, only the
+    ``cap`` most-mentioned addresses enter the pairing (rank by distinct
+    mentioning files desc, address id as the deterministic tie-break), so
+    per-repo work is ≤ cap² regardless of repo size, and the rank window
+    runs on pre-aggregated (repo, address) counts — bounded by the
+    address vocabulary, not corpus rows. The truncation is explicit
+    operator contract (cap=100 default), not silent: callers sizing for
+    a fat-tailed corpus pick cap to taste and the planted-graph test pins
+    the deterministic cut. The capped per-repo sets feed BOTH sides of
+    the pair join, so they are persisted (scope-aware)."""
+    m = edges.filter(F.col("pred") == MENTIONS).select(
+        F.substring_index("subj", ":", 1).alias("repo"),
+        F.col("obj").alias("addr"),
+    )
+    counts = m.groupBy("repo", "addr").agg(
+        F.count(F.lit(1)).alias("_nf")
+    )
+    w = Window.partitionBy("repo").orderBy(F.desc("_nf"), F.asc("addr"))
+    kept = _persist(
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .select("repo", "addr")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, "repo")
+        .filter(F.col("a.addr") < F.col("b.addr"))
+        .groupBy(
+            F.col("a.addr").alias("addr_a"), F.col("b.addr").alias("addr_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_repos"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,

@@ -43,6 +43,11 @@ edge stage.
 N deterministic hash shards (one file each, per-shard doc/BPE-token
 manifest) with a printed round-trip completeness check.
 
+``--integrity-gate`` runs the eight-invariant integrity report
+(operators/graph_query.integrity_report) over the built edge/node stages
+and fails the job with a nonzero exit on ANY violation — the publish gate
+a production KG build runs before downstream consumers see the tables.
+
 ``--incremental-dedup N`` does the same for NEAR-dup dedup-on-arrival:
 the corpus stage replayed as N drops through ``merge_dedup_labels``
 (durable band index + snapshot-versioned labels, keep-2 label retention
@@ -113,6 +118,13 @@ def main() -> int:
              "keep-2 retention), print per-merge touched-bucket / bytes "
              "stats, and verify the final snapshot equals the batch edge "
              "stage exactly")
+    ap.add_argument(
+        "--integrity-gate", action="store_true",
+        help="run the eight-invariant KG integrity report (dangling "
+             "endpoints, orphans, duplicate triples, self-loops, "
+             "confidence range, unknown predicates, ontology domain/range) "
+             "over the built edge/node stages and FAIL the job (nonzero "
+             "exit) on any violation — the publish gate")
     args = ap.parse_args()
     if not args.corpus and not args.synthesize:
         ap.error("one of --corpus / --synthesize is required")
@@ -372,6 +384,19 @@ def main() -> int:
               f"keeper_set_equals_one_shot="
               f"{'true' if ddiff == 0 else 'false'}")
         if ddiff != 0:
+            ok = False
+    if args.integrity_gate:
+        from extract_address_ner_spark.operators.graph_query import (
+            integrity_report,
+        )
+
+        checks = {r["check"]: r["n"] for r in
+                  integrity_report(out["edges"], out["nodes"]).collect()}
+        n_viol = sum(checks.values())
+        detail = " ".join(f"{k}={v}" for k, v in sorted(checks.items()))
+        print(f"integrity_gate: {'CLEAN' if n_viol == 0 else 'VIOLATED'} "
+              f"({detail})")
+        if n_viol > 0:
             ok = False
     if args.eval_gold:
         gold = spark.read.parquet(args.eval_gold)

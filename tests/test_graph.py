@@ -375,3 +375,102 @@ def test_k_hop_reachability_min_hops(spark):
     assert {r["node"]: r["hops"]
             for r in k_hop_reachability(edges, dup_seeds, k=3).collect()
             } == got
+
+
+def test_integrity_report_detects_planted_corruption(spark):
+    """integrity_report (round 5) on a planted corrupt graph: every check
+    fires with the exact expected count, and a clean graph reports eight
+    zeros (the all-clear IS the assertion). The planted ontology allows
+    only p: t→t, so the q edges are unknown_pred and the t→weird edge is
+    the domain/range violation (its endpoints RESOLVE — dangling endpoints
+    must not double-count there). The edge-less admin_region node pins the
+    static-dimension orphan exemption (unreferenced vocabulary is not
+    corruption)."""
+    from extract_address_ner_spark.operators.graph_query import (
+        integrity_report,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "p", "b", 0.9),
+            ("a", "p", "b", 0.9),      # duplicate_triple: 1 excess copy
+            ("a", "p", "b", 0.9),      # …and a second excess copy
+            ("b", "p", "c", 1.0),
+            ("c", "p", "c", 0.5),      # self_loop
+            ("c", "p", "ghost", 0.7),  # dangling_obj (ghost not a node)
+            ("phantom", "p", "a", 0.7),  # dangling_subj
+            ("b", "q", "a", 1.5),      # unknown_pred + confidence > 1
+            ("a", "q", "c", 0.0),      # unknown_pred + confidence <= 0
+            ("a", "p", "w", 0.9),      # domain_range_violation (t → weird)
+        ],
+        "subj string, pred string, obj string, confidence double",
+    )
+    nodes = spark.createDataFrame(
+        [("a", "t"), ("b", "t"), ("c", "t"),
+         ("island", "t"),           # orphan
+         ("dim", "admin_region"),   # edge-less but EXEMPT (static dim)
+         ("w", "weird")],
+        "node_id string, node_type string",
+    )
+    ontology = (("p", "t", "t"),)
+    got = {r["check"]: r["n"]
+           for r in integrity_report(edges, nodes, ontology).collect()}
+    assert got == {
+        "dangling_subj": 1,
+        "dangling_obj": 1,
+        "orphan_node": 1,
+        "duplicate_triple": 2,
+        "self_loop": 1,
+        "confidence_out_of_range": 2,
+        "unknown_pred": 2,
+        "domain_range_violation": 1,
+    }
+    clean_edges = edges.filter(
+        (F.col("subj") != F.col("obj"))
+        & ~F.col("subj").isin("phantom")
+        & ~F.col("obj").isin("ghost", "w")
+        & F.col("confidence").between(0.1, 1.0)
+    ).distinct()
+    clean_nodes = nodes.filter(~F.col("node_id").isin("island", "w"))
+    clean = {
+        r["check"]: r["n"]
+        for r in integrity_report(
+            clean_edges, clean_nodes, ontology
+        ).collect()
+    }
+    assert clean == {k: 0 for k in got}
+
+
+def test_comention_pairs_cap_and_weights(spark):
+    """comention_pairs (round 5) on a planted mention graph: pair weights
+    count co-mentioning repos, pairs are emitted once as addr_a < addr_b,
+    non-mention predicates are ignored, and the fan-out cap keeps exactly
+    the top-`cap` addresses per repo (by file count desc, then address id
+    — the deterministic cut)."""
+    from extract_address_ner_spark.operators.graph_query import (
+        comention_pairs,
+    )
+
+    rows = [
+        # r1 mentions A (2 files), B (1 file), C (1 file)
+        ("r1:f1", "mentions_address", "A", 0.85),
+        ("r1:f2", "mentions_address", "A", 0.85),
+        ("r1:f2", "mentions_address", "B", 0.85),
+        ("r1:f3", "mentions_address", "C", 0.85),
+        # r2 mentions A and B -> pair (A,B) shared by r1 and r2
+        ("r2:f1", "mentions_address", "A", 0.85),
+        ("r2:f1", "mentions_address", "B", 0.85),
+        # backbone noise must not contribute
+        ("A", "located_in", "kr/seoul", 1.0),
+    ]
+    edges = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, confidence double"
+    )
+    got = {(r["addr_a"], r["addr_b"]): r["n_repos"]
+           for r in comention_pairs(edges).collect()}
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+    # cap=2 in r1 keeps A (2 files) then B (ties C at 1 file, id wins):
+    # (A,C)/(B,C) vanish, (A,B) survives via both repos
+    capped = {(r["addr_a"], r["addr_b"]): r["n_repos"]
+              for r in comention_pairs(edges, cap=2).collect()}
+    assert capped == {("A", "B"): 2}

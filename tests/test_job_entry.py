@@ -127,3 +127,17 @@ def test_job_entry_spark_submit_py_files(tmp_path):
     # paranoia: the job really could not have imported from the repo tree
     assert str(REPO) not in str(job)
     assert os.path.isdir(tmp_path / "wh")
+
+
+def test_job_entry_integrity_gate(tmp_path):
+    """Round-5: the shipped job's --integrity-gate runs the eight-invariant
+    report over the built edge/node stages and exits 0 with all-zero counts
+    on a clean build (the nonzero-exit detection path is pinned at operator
+    level in tests/test_graph.py — the job wiring just sums the report)."""
+    stdout = _run_job(tmp_path, ["--master", "local[2]", "--integrity-gate"])
+    assert "integrity_gate: CLEAN" in stdout
+    for check in ("dangling_subj", "dangling_obj", "orphan_node",
+                  "duplicate_triple", "self_loop",
+                  "confidence_out_of_range", "unknown_pred",
+                  "domain_range_violation"):
+        assert f"{check}=0" in stdout
