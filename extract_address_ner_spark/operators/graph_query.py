@@ -218,11 +218,14 @@ def integrity_report(
     eight rows, counts possibly 0 — a clean build returns all zeros,
     which IS the assertion.
 
-    Scale shape: the two dangling checks share ONE anti-join — edge
-    endpoints are unpivoted to (node, role) first, so one shuffle-join
-    against the node-id set covers both directions instead of two
-    edge-sized joins. The orphan check anti-joins the (distinct) node-id
-    set against the same unpivoted endpoints. ``self_loop``,
+    Scale shape: the two dangling checks are written as ONE anti-join
+    over the (node, role)-unpivoted endpoints; Catalyst distributes that
+    join across the union's two branches (plan-pinned: exactly one
+    LeftAnti per endpoint direction), which shuffles the same 2·|edges|
+    endpoint rows either way — the invariant that matters is that each
+    edge endpoint is anti-joined against the node-id set exactly ONCE,
+    and the role split costs no extra pass. The orphan check anti-joins
+    the (distinct) node-id set against the endpoints. ``self_loop``,
     ``confidence_out_of_range`` and ``unknown_pred`` fold into a single
     conditional-aggregate pass over the edge table (map-side partial
     aggregation, one row out; the pred membership test is a pure

@@ -255,3 +255,41 @@ def test_components_round_shuffles_messages_not_labels(spark):
         conf.set("spark.sql.adaptive.enabled", old_aqe)
         conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         edges.unpersist(); labels.unpersist()
+
+
+def test_integrity_report_anti_join_budget(spark):
+    """integrity_report (round 5): exactly THREE anti-joins in the whole
+    eight-check plan — Catalyst distributes the unpivoted-endpoint
+    dangling join across the union's two branches (one LeftAnti per
+    endpoint direction, each edge endpoint tested exactly once) plus the
+    orphan check — and the three row-level checks (self-loop, confidence
+    range, unknown pred) fold into aggregates rather than extra joins."""
+    from extract_address_ner_spark.operators.graph_query import (
+        integrity_report,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b", 0.9)],
+        "subj string, pred string, obj string, confidence double",
+    )
+    nodes = spark.createDataFrame(
+        [("a", "t"), ("b", "t")], "node_id string, node_type string"
+    )
+    plan = _plan(integrity_report(edges, nodes, ontology=(("p", "t", "t"),)))
+    assert plan.count("LeftAnti") == 3, plan
+
+
+def test_comention_pair_join_runs_on_capped_preaggregated_sets(spark, sf_smoke):
+    """comention_pairs (round 5): the pair self-join must consume the
+    rank-CAPPED per-repo sets built from pre-aggregated (repo, address)
+    counts — partial aggregation (map-side combine) feeding a bounded
+    Window — never raw corpus-sized mention rows on either join side."""
+    from extract_address_ner_spark.entry_queries import _built_edges
+    from extract_address_ner_spark.operators.graph_query import (
+        comention_pairs,
+    )
+
+    plan = _plan(comention_pairs(_built_edges(spark, sf_smoke)))
+    assert "partial_count" in plan, plan      # map-side combine
+    assert "Window" in plan, plan             # the rank cap
+    assert "row_number" in plan, plan
