@@ -668,6 +668,102 @@ def q_graph_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comention_pairs(_built_edges(spark, sf_dir))
 
 
+def gold_triangles_sql(cap: int = 100) -> str:
+    """Per-node triangle counts + clustering coefficient over the SAME
+    rank-capped co-mention pair set as gold_comention_sql: triangles are
+    the three-way self-join on string-ordered pairs (x<y<z — each triangle
+    once), per-node counts credit all three corners, and clustering is
+    2t/(d(d-1)) rounded to 6dp — identical semantics to the
+    degree-oriented distributed formulation (orientation changes the
+    enumeration order, never the triangle set)."""
+    return f"""
+WITH _edges AS ({gold_edges_sql()}),
+m AS (SELECT split_part(subj, ':', 1) AS repo, obj AS addr
+      FROM _edges WHERE pred = 'mentions_address'),
+c AS (SELECT repo, addr, count(*) AS nf FROM m GROUP BY 1, 2),
+k AS (SELECT repo, addr FROM
+        (SELECT *, row_number() OVER
+           (PARTITION BY repo ORDER BY nf DESC, addr) AS rk FROM c)
+      WHERE rk <= {cap}),
+p AS (SELECT DISTINCT a.addr AS pa, b.addr AS pb
+      FROM k a JOIN k b ON a.repo = b.repo AND a.addr < b.addr),
+tri AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+        FROM p e1
+        JOIN p e2 ON e2.pa = e1.pa AND e1.pb < e2.pb
+        JOIN p e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+tn AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+       UNION ALL SELECT z FROM tri),
+tc AS (SELECT node, count(*) AS t FROM tn GROUP BY node),
+deg AS (SELECT node, count(*) AS d FROM
+          (SELECT pa AS node FROM p UNION ALL SELECT pb FROM p)
+        GROUP BY node)
+SELECT deg.node,
+       CAST(d AS BIGINT) AS degree,
+       CAST(coalesce(t, 0) AS BIGINT) AS triangles,
+       CAST(round(CASE WHEN d >= 2
+                       THEN 2.0 * coalesce(t, 0) / (d * (d - 1))
+                       ELSE 0 END, 6) AS DOUBLE) AS clustering
+FROM deg LEFT JOIN tc ON tc.node = deg.node"""
+
+
+@register("graph_triangles", gold_triangles_sql(), driver=False)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    co-mention projection of the built KG — the community-density read
+    (operators/graph_query.triangle_stats, degree-oriented wedge
+    enumeration). Pytest-carried (driver registry is at its 50-entry cap;
+    tests/test_registry_oracles.py replays this against the three-way
+    self-join oracle exactly the way the driver would)."""
+    from .operators.graph_query import comention_pairs, triangle_stats
+
+    pairs = comention_pairs(_built_edges(spark, sf_dir)).select(
+        "addr_a", "addr_b"
+    )
+    return triangle_stats(pairs)
+
+
+def gold_repo_similarity_sql(cap: int = 100, max_df: int = 1000) -> str:
+    """Repo–repo Jaccard over the SAME rank-capped per-repo address sets
+    as gold_comention_sql, with the document-frequency filter applied
+    before the inverted-index pair join — identical cap, tie-break,
+    max_df, and 6dp rounding as operators/graph_query.repo_similarity."""
+    return f"""
+WITH _edges AS ({gold_edges_sql()}),
+m AS (SELECT split_part(subj, ':', 1) AS repo, obj AS addr
+      FROM _edges WHERE pred = 'mentions_address'),
+c AS (SELECT repo, addr, count(*) AS nf FROM m GROUP BY 1, 2),
+k AS (SELECT repo, addr FROM
+        (SELECT *, row_number() OVER
+           (PARTITION BY repo ORDER BY nf DESC, addr) AS rk FROM c)
+      WHERE rk <= {cap}),
+rare AS (SELECT addr FROM
+           (SELECT addr, count(*) AS dfc FROM k GROUP BY 1)
+         WHERE dfc <= {max_df}),
+kf AS (SELECT k.repo, k.addr FROM k JOIN rare USING (addr)),
+sz AS (SELECT repo, count(*) AS sz FROM kf GROUP BY 1),
+sh AS (SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS n_shared
+       FROM kf a JOIN kf b ON a.addr = b.addr AND a.repo < b.repo
+       GROUP BY 1, 2)
+SELECT repo_a, repo_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(round(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6)
+            AS DOUBLE) AS jaccard
+FROM sh JOIN sz sa ON sa.repo = sh.repo_a
+        JOIN sz sb ON sb.repo = sh.repo_b"""
+
+
+@register("graph_repo_similarity", gold_repo_similarity_sql(), driver=False)
+def q_graph_repo_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo–repo Jaccard similarity over capped, df-filtered address
+    vocabularies (related-repositories read;
+    operators/graph_query.repo_similarity). Pytest-carried (driver
+    registry is at its 50-entry cap; tests/test_registry_oracles.py
+    replays this against the inverted-index oracle exactly the way the
+    driver would)."""
+    from .operators.graph_query import repo_similarity
+
+    return repo_similarity(_built_edges(spark, sf_dir))
+
+
 def gold_integrity_sql() -> str:
     """The eight structural-invariant counts as independent scalar
     subqueries over the gold edge/node tables — same check definitions as

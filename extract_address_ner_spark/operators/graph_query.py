@@ -502,3 +502,184 @@ def pagerank(
     return ranks.select(
         "node", F.round("_pr", 6).cast("double").alias("pagerank")
     )
+
+
+def triangle_stats(
+    pairs: DataFrame, a_col: str = "addr_a", b_col: str = "addr_b"
+) -> DataFrame:
+    """(node, degree, triangles, clustering): per-node triangle counts and
+    local clustering coefficient over an undirected simple graph given as
+    canonical pairs (``a_col < b_col``, each edge once) — the density /
+    community-structure read over the co-mention projection
+    (``comention_pairs``): a high-clustering address sits inside a tight
+    co-mention clique (one neighborhood's address vocabulary), a
+    low-clustering high-degree one is a hub bridging unrelated repos.
+    Global triangle count = sum(triangles) / 3.
+
+    Scale shape — the naive wedge enumeration is the classic quadratic
+    trap: a degree-d hub generates d(d-1)/2 wedge candidates, and the
+    co-mention graph HAS hubs (a dictionary address mentioned by half the
+    corpus). The standard fix (node-iterator++ / the MapReduce formulation
+    of Suri & Vassilvitskii, WWW'11) orients every edge from the
+    (degree, id)-SMALLER endpoint to the larger one; each triangle then has
+    exactly one apex whose two out-edges form the wedge, and the oriented
+    out-degree of ANY node — hub or not — is bounded by O(sqrt(2m)), so
+    per-apex wedge work never exceeds O(m) total regardless of the degree
+    distribution. The wedge self-join keys on the apex; the closing-edge
+    probe is an equi-join on the canonical (lo, hi) pair key. Everything
+    is plain joins + aggregations: one degree aggregation, two keyed joins
+    to attach endpoint degrees, the apex-keyed wedge join, the pair-keyed
+    closing join, and the final per-node count — no driver-side state, no
+    cross join (plan-pinned, tests/test_plans.py). ``pairs`` feeds the
+    orientation AND the closing probe, and the oriented table feeds both
+    wedge sides, so both are persisted (scope-registered — see the module
+    caching contract).
+
+    Clustering = 2·t / (d·(d−1)) for d ≥ 2 else 0.0, rounded to 6dp —
+    the values are exact small rationals, so the rounding makes the result
+    exactly oracle-comparable (same grain argument as ``pagerank``)."""
+    pairs = _persist(
+        pairs.select(
+            F.col(a_col).alias("_pa"), F.col(b_col).alias("_pb")
+        ).distinct()
+    )
+    deg = _persist(
+        pairs.select(F.col("_pa").alias("node"))
+        .unionAll(pairs.select(F.col("_pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    with_deg = pairs.join(
+        deg.select(F.col("node").alias("_pa"), F.col("degree").alias("_da")),
+        "_pa",
+    ).join(
+        deg.select(F.col("node").alias("_pb"), F.col("degree").alias("_db")),
+        "_pb",
+    )
+    # orient (deg, id)-low → high; _pa < _pb by contract, so ties keep _pa
+    a_is_src = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_pa") < F.col("_pb"))
+    )
+    oriented = _persist(
+        with_deg.select(
+            F.when(a_is_src, F.col("_pa")).otherwise(F.col("_pb")).alias("_src"),
+            F.when(a_is_src, F.col("_pb")).otherwise(F.col("_pa")).alias("_dst"),
+        )
+    )
+    wedges = (
+        oriented.select("_src", F.col("_dst").alias("_v"))
+        .join(oriented.select("_src", F.col("_dst").alias("_w")), "_src")
+        .filter(F.col("_v") < F.col("_w"))  # one wedge per dst pair
+    )
+    tri = wedges.join(
+        pairs,
+        (wedges["_v"] == pairs["_pa"]) & (wedges["_w"] == pairs["_pb"]),
+    ).select("_src", "_v", "_w")
+    tc = tri.select(
+        F.explode(F.array("_src", "_v", "_w")).alias("node")
+    ).groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("_t"))
+    return deg.join(tc, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("_t"), F.lit(0)).cast("long").alias("triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce(F.col("_t"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).cast("double").alias("clustering"),
+    )
+
+
+def repo_similarity(
+    edges: DataFrame, cap: int = 100, max_df: int = 1000
+) -> DataFrame:
+    """(repo_a, repo_b, n_shared, jaccard): the related-REPOSITORIES read —
+    Jaccard similarity of two repos' canonical-address vocabularies, the
+    dual of ``comention_pairs`` (project the bipartite repo→address graph
+    onto the repo side instead of the address side). Pairs are emitted
+    once with ``repo_a < repo_b``; only pairs sharing ≥1 address appear
+    (disjoint repos have jaccard 0 by definition and would be |repos|²/2
+    rows of zeros).
+
+    Scale shape — two quadratic blowups, each with its own bound:
+
+    1. Mega-repo vocabulary: a repo's set enters through the SAME
+       per-repo rank cap as ``comention_pairs`` (top-``cap`` addresses by
+       mention count, address-id tie-break) so any one repo contributes
+       ≤ cap rows to the index.
+    2. Ubiquitous address: pair generation is an inverted-index join
+       keyed on the address, and an address mentioned by r repos emits
+       r²/2 pairs — the hot-key quadratic again, this time on the
+       dictionary head (a capital-city address half the corpus mentions).
+       Defense is the standard similarity-join document-frequency filter:
+       addresses kept by more than ``max_df`` repos are dropped from the
+       index BEFORE pairing. Ubiquity is exactly what makes them useless
+       as similarity signal, so the filter removes the quadratic keys and
+       the noise in one move — explicit operator contract (like the LSH
+       bucket cap / co-mention cap), never a silent truncation.
+
+    Jaccard is computed over the capped+filtered sets (n_shared /
+    (|A| + |B| − n_shared)), so the reported similarity is consistent
+    with its own index. Set sizes are distinct-address counts (the kept
+    table is one row per (repo, addr) by construction). 6dp rounding:
+    unions are small integers, whose reciprocals never terminate exactly
+    at the 7th decimal digit, so cross-engine rounding cannot disagree
+    (same grain argument as ``pagerank``). The filtered index feeds both
+    join sides and the size table, so it is persisted (scope-registered —
+    see the module caching contract)."""
+    m = edges.filter(F.col("pred") == MENTIONS).select(
+        F.substring_index("subj", ":", 1).alias("repo"),
+        F.col("obj").alias("addr"),
+    )
+    counts = m.groupBy("repo", "addr").agg(F.count(F.lit(1)).alias("_nf"))
+    w = Window.partitionBy("repo").orderBy(F.desc("_nf"), F.asc("addr"))
+    kept = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .select("repo", "addr")
+    )
+    rare = (
+        kept.groupBy("addr")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("addr")
+    )
+    kept = _persist(kept.join(rare, "addr"))
+    sizes = _persist(
+        kept.groupBy("repo").agg(F.count(F.lit(1)).alias("_sz"))
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (
+        a.join(b, "addr")
+        .filter(F.col("a.repo") < F.col("b.repo"))
+        .groupBy(
+            F.col("a.repo").alias("repo_a"), F.col("b.repo").alias("repo_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("repo").alias("repo_a"),
+                         F.col("_sz").alias("_sa")),
+            "repo_a",
+        )
+        .join(
+            sizes.select(F.col("repo").alias("repo_b"),
+                         F.col("_sz").alias("_sb")),
+            "repo_b",
+        )
+        .select(
+            "repo_a",
+            "repo_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("_sa") + F.col("_sb") - F.col("n_shared")),
+                6,
+            ).cast("double").alias("jaccard"),
+        )
+    )

@@ -474,3 +474,76 @@ def test_comention_pairs_cap_and_weights(spark):
     capped = {(r["addr_a"], r["addr_b"]): r["n_repos"]
               for r in comention_pairs(edges, cap=2).collect()}
     assert capped == {("A", "B"): 2}
+
+
+def test_triangle_stats_planted_graph(spark):
+    """triangle_stats (round 5) on K4 plus a pendant edge: every K4 corner
+    sits in 3 of the 4 triangles; the corner carrying the pendant has
+    degree 4 so its clustering halves; the pendant itself has none. A
+    second check pins a triangle whose apex is NOT the string-order
+    minimum (degree orientation must still count it exactly once)."""
+    from extract_address_ner_spark.operators.graph_query import (
+        triangle_stats,
+    )
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d"), ("d", "e")]
+    pairs = spark.createDataFrame(k4, "addr_a string, addr_b string")
+    got = {r["node"]: (r["degree"], r["triangles"], r["clustering"])
+           for r in triangle_stats(pairs).collect()}
+    assert got == {
+        "a": (3, 3, 1.0),
+        "b": (3, 3, 1.0),
+        "c": (3, 3, 1.0),
+        "d": (4, 3, 0.5),
+        "e": (1, 0, 0.0),
+    }
+    # star-with-one-closure: hub "a" has max degree, so the triangle's
+    # apex under (degree, id) orientation is "b" — not the string minimum
+    star = [("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"), ("b", "c")]
+    got2 = {r["node"]: (r["degree"], r["triangles"], r["clustering"])
+            for r in triangle_stats(
+                spark.createDataFrame(star, "addr_a string, addr_b string")
+            ).collect()}
+    assert got2 == {
+        "a": (4, 1, round(2 * 1 / (4 * 3), 6)),
+        "b": (2, 1, 1.0),
+        "c": (2, 1, 1.0),
+        "d": (1, 0, 0.0),
+        "e": (1, 0, 0.0),
+    }
+
+
+def test_repo_similarity_planted_graph(spark):
+    """repo_similarity (round 5): r1={A,B,C}, r2={B,C,D}, r3={E} —
+    r1/r2 share {B,C} → jaccard 2/4; r3 is disjoint so no row. With
+    max_df=1, every shared address is ubiquitous and the result is
+    empty; with cap=1, each repo keeps only its most-mentioned address
+    (nf desc, addr tie-break) so only an A-vs-A overlap survives."""
+    from extract_address_ner_spark.operators.graph_query import (
+        repo_similarity,
+    )
+
+    def e(repo, path, addr, n=1):
+        return [(f"{repo}:{path}{i}", "mentions_address", addr, 0.9)
+                for i in range(n)]
+
+    rows = (e("r1", "f", "A", 2) + e("r1", "g", "B") + e("r1", "h", "C")
+            + e("r2", "f", "B") + e("r2", "g", "C") + e("r2", "h", "D")
+            + e("r3", "f", "E"))
+    edges = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, confidence double")
+    got = {(r["repo_a"], r["repo_b"]): (r["n_shared"], r["jaccard"])
+           for r in repo_similarity(edges).collect()}
+    assert got == {("r1", "r2"): (2, 0.5)}
+    # ubiquity filter: every address kept by >1 repo drops out
+    assert repo_similarity(edges, max_df=1).count() == 0
+    # rank cap: r1 keeps A (nf=2), r2 keeps B (tie → addr asc) — disjoint
+    assert repo_similarity(edges, cap=1).count() == 0
+    # cap determinism with an overlap: r4 most-mentions A too
+    rows4 = rows + e("r4", "f", "A", 3) + e("r4", "g", "Z")
+    edges4 = spark.createDataFrame(
+        rows4, "subj string, pred string, obj string, confidence double")
+    got4 = {(r["repo_a"], r["repo_b"]): (r["n_shared"], r["jaccard"])
+            for r in repo_similarity(edges4, cap=1).collect()}
+    assert got4 == {("r1", "r4"): (1, 1.0)}

@@ -293,3 +293,48 @@ def test_comention_pair_join_runs_on_capped_preaggregated_sets(spark, sf_smoke):
     assert "partial_count" in plan, plan      # map-side combine
     assert "Window" in plan, plan             # the rank cap
     assert "row_number" in plan, plan
+
+
+def test_triangle_stats_no_cartesian_equi_joins_only(spark):
+    """triangle_stats (round 5): every join in the degree-oriented wedge
+    enumeration is a keyed equi-join — the apex-keyed wedge self-join and
+    the (lo, hi) closing-edge probe must never degrade to a cartesian /
+    broadcast-nested-loop product, and the degree aggregation must keep
+    its map-side combine (what bounds the plan at 100 TB is the
+    orientation, not optimizer luck)."""
+    from extract_address_ner_spark.operators.graph_query import (
+        triangle_stats,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")],
+        "addr_a string, addr_b string",
+    )
+    plan = _plan(triangle_stats(pairs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_repo_similarity_joins_on_filtered_index(spark):
+    """repo_similarity (round 5): the inverted-index pair join must be a
+    keyed equi-join on the address (never cartesian), the per-repo rank
+    cap must run as a bounded Window over PRE-AGGREGATED counts
+    (partial_count = map-side combine), and the document-frequency
+    filter must appear as an aggregate-then-join — the two quadratic
+    bounds are plan structure, not optimizer luck."""
+    from extract_address_ner_spark.operators.graph_query import (
+        repo_similarity,
+    )
+
+    edges = spark.createDataFrame(
+        [("r1:f", "mentions_address", "A", 0.9),
+         ("r2:f", "mentions_address", "A", 0.9)],
+        "subj string, pred string, obj string, confidence double",
+    )
+    plan = _plan(repo_similarity(edges))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "Window" in plan, plan
+    assert "row_number" in plan, plan
