@@ -764,6 +764,70 @@ def q_graph_repo_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repo_similarity(_built_edges(spark, sf_dir))
 
 
+def gold_communities_sql(cap: int = 100) -> str:
+    """Address communities: min-reachable-id connected components (recursive
+    CTE) over the SAME rank-capped co-mention pair set as gold_comention_sql,
+    with nodes = every distinct mentioned address (addresses with no
+    co-mention partner are size-1 communities), plus per-community sizes."""
+    return f"""
+WITH RECURSIVE _edges AS ({gold_edges_sql()}),
+m AS (SELECT split_part(subj, ':', 1) AS repo, obj AS addr
+      FROM _edges WHERE pred = 'mentions_address'),
+c AS (SELECT repo, addr, count(*) AS nf FROM m GROUP BY 1, 2),
+k AS (SELECT repo, addr FROM
+        (SELECT *, row_number() OVER
+           (PARTITION BY repo ORDER BY nf DESC, addr) AS rk FROM c)
+      WHERE rk <= {cap}),
+p AS (SELECT DISTINCT a.addr AS pa, b.addr AS pb
+      FROM k a JOIN k b ON a.repo = b.repo AND a.addr < b.addr),
+nodes AS (SELECT DISTINCT addr FROM m),
+ed AS (SELECT pa AS u, pb AS v FROM p UNION ALL SELECT pb AS u, pa AS v FROM p),
+reach AS (
+  SELECT addr AS src, addr AS dst FROM nodes
+  UNION
+  SELECT r.src, e.v AS dst FROM reach r JOIN ed e ON e.u = r.dst
+),
+comp AS (SELECT src AS addr, min(dst) AS community_id FROM reach GROUP BY src),
+sz AS (SELECT community_id, CAST(count(*) AS BIGINT) AS community_size
+       FROM comp GROUP BY 1)
+SELECT comp.addr, comp.community_id, sz.community_size
+FROM comp JOIN sz USING (community_id)"""
+
+
+@register("graph_communities", gold_communities_sql(), driver=False)
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Address community detection: chain-safe star connected components
+    (operators/dedup.connected_components_star — O(log² n) rounds) run over
+    the rank-capped co-mention projection, labeling every mentioned address
+    with its community's min id and size; addresses with no co-mention
+    partner are size-1 communities. Pure operator COMPOSITION — the pair
+    generator and the component engine are the same tested pieces the dedup
+    chain uses, pointed at the KG. Pytest-carried (driver registry is at
+    its 50-entry cap; tests/test_registry_oracles.py replays this against
+    the recursive-CTE oracle exactly the way the driver would)."""
+    from .operators.dedup import connected_components_star
+    from .operators.graph_query import comention_pairs
+
+    edges = _built_edges(spark, sf_dir)
+    pairs = comention_pairs(edges).select(
+        F.col("addr_a").alias("id_a"), F.col("addr_b").alias("id_b")
+    )
+    nodes = (
+        edges.filter(F.col("pred") == "mentions_address")
+        .select(F.col("obj").alias("addr"))
+        .distinct()
+    )
+    comp = connected_components_star(nodes, pairs, id_col="addr")
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return comp.join(sizes, "component_id").select(
+        "addr",
+        F.col("component_id").alias("community_id"),
+        "community_size",
+    )
+
+
 def gold_integrity_sql() -> str:
     """The eight structural-invariant counts as independent scalar
     subqueries over the gold edge/node tables — same check definitions as

@@ -547,3 +547,32 @@ def test_repo_similarity_planted_graph(spark):
     got4 = {(r["repo_a"], r["repo_b"]): (r["n_shared"], r["jaccard"])
             for r in repo_similarity(edges4, cap=1).collect()}
     assert got4 == {("r1", "r4"): (1, 1.0)}
+
+
+def test_graph_communities_composition_planted(spark):
+    """graph_communities composition (round 5): co-mention pairs feed the
+    star components — r1 co-mentions {A,B}, r2 co-mentions {B,C} so
+    {A,B,C} is one community labeled by its min id with size 3; address D
+    (mentioned, never co-mentioned) is its own size-1 community."""
+    from extract_address_ner_spark.operators.dedup import (
+        connected_components_star,
+    )
+    from extract_address_ner_spark.operators.graph_query import (
+        comention_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("r1:f", "mentions_address", "A", 0.9),
+            ("r1:g", "mentions_address", "B", 0.9),
+            ("r2:f", "mentions_address", "B", 0.9),
+            ("r2:g", "mentions_address", "C", 0.9),
+            ("r3:f", "mentions_address", "D", 0.9)]
+    edges = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, confidence double")
+    pairs = comention_pairs(edges).select(
+        F.col("addr_a").alias("id_a"), F.col("addr_b").alias("id_b"))
+    nodes = (edges.filter(F.col("pred") == "mentions_address")
+             .select(F.col("obj").alias("addr")).distinct())
+    comp = connected_components_star(nodes, pairs, id_col="addr")
+    got = {r["addr"]: r["component_id"] for r in comp.collect()}
+    assert got == {"A": "A", "B": "A", "C": "A", "D": "D"}
