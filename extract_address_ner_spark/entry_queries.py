@@ -828,6 +828,67 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gold_label_communities_sql(cap: int = 100, iterations: int = 3) -> str:
+    """Synchronous label propagation, unrolled one CTE per round (the
+    pagerank oracle discipline): each round every node adopts the most
+    frequent neighbor label (count desc, label asc tie-break — rendered as
+    a row_number window over the grouped counts), nodes without neighbors
+    keep their previous label. Same cap/tie-break pair set as
+    gold_comention_sql; same fixed iteration count as the operator."""
+    rounds = []
+    for r in range(1, iterations + 1):
+        prev = f"l{r - 1}"
+        rounds.append(f"""
+l{r} AS (
+  SELECT {prev}.node, coalesce(w.l, {prev}.lbl) AS lbl
+  FROM {prev} LEFT JOIN (
+    SELECT x, lbl AS l FROM (
+      SELECT e.u AS x, lr.lbl,
+             row_number() OVER (PARTITION BY e.u
+                                ORDER BY count(*) DESC, lr.lbl) AS rk
+      FROM ed e JOIN {prev} lr ON lr.node = e.v
+      GROUP BY e.u, lr.lbl
+    ) WHERE rk = 1
+  ) w ON w.x = {prev}.node)""")
+    return f"""
+WITH _edges AS ({gold_edges_sql()}),
+m AS (SELECT split_part(subj, ':', 1) AS repo, obj AS addr
+      FROM _edges WHERE pred = 'mentions_address'),
+c AS (SELECT repo, addr, count(*) AS nf FROM m GROUP BY 1, 2),
+k AS (SELECT repo, addr FROM
+        (SELECT *, row_number() OVER
+           (PARTITION BY repo ORDER BY nf DESC, addr) AS rk FROM c)
+      WHERE rk <= {cap}),
+p AS (SELECT DISTINCT a.addr AS pa, b.addr AS pb
+      FROM k a JOIN k b ON a.repo = b.repo AND a.addr < b.addr),
+ed AS (SELECT pa AS u, pb AS v FROM p UNION ALL SELECT pb AS u, pa AS v FROM p),
+l0 AS (SELECT DISTINCT addr AS node, addr AS lbl FROM m),{",".join(rounds)}
+SELECT node, lbl AS community_id FROM l{iterations}"""
+
+
+@register("graph_label_communities", gold_label_communities_sql(),
+          driver=False)
+def q_graph_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    co-mention projection (operators/graph_query.label_propagation) —
+    finer than the component-based `graph_communities`: bridged cliques
+    stay separate communities. Deterministic (count-desc, label-asc
+    tie-break), fixed 3 rounds, oracle = the unrolled-CTE twin.
+    Pytest-carried (driver registry is at its 50-entry cap;
+    tests/test_registry_oracles.py replays this the way the driver
+    would)."""
+    from .operators.graph_query import comention_pairs, label_propagation
+
+    edges = _built_edges(spark, sf_dir)
+    pairs = comention_pairs(edges).select("addr_a", "addr_b")
+    nodes = (
+        edges.filter(F.col("pred") == "mentions_address")
+        .select(F.col("obj").alias("addr"))
+        .distinct()
+    )
+    return label_propagation(pairs, nodes=nodes)
+
+
 def gold_integrity_sql() -> str:
     """The eight structural-invariant counts as independent scalar
     subqueries over the gold edge/node tables — same check definitions as

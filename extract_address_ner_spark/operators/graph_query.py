@@ -683,3 +683,73 @@ def repo_similarity(
             ).cast("double").alias("jaccard"),
         )
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    iterations: int = 3,
+    a_col: str = "addr_a",
+    b_col: str = "addr_b",
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """(node, community_id): SYNCHRONOUS label propagation over an
+    undirected simple graph given as canonical pairs (``a_col < b_col``)
+    — community detection FINER than connected components: a bridge edge
+    joins two cliques into one component, but under LPA each clique
+    converges to its own internal label, so the cliques stay separate
+    communities (pinned by the two-triangles-plus-bridge test). Labels
+    start as the node's own id; each round every node adopts the most
+    frequent label among its neighbors, ties broken by the SMALLEST
+    label — fully deterministic, unlike the asynchronous/random-order
+    formulations, which is what makes the result oracle-comparable. A
+    fixed iteration count (default 3) rather than a convergence probe:
+    synchronous LPA can oscillate on bipartite structures, so bounded
+    rounds are the honest contract (same reasoning as fixed-iteration
+    ``pagerank``), and the unrolled-CTE SQL oracle mirrors the count
+    exactly.
+
+    Scale shape: per round ONE join of the symmetrized edge list with the
+    O(nodes) label table (keyed on the neighbor), one (node, label)
+    count aggregation (map-side combinable), and one groupBy-min over a
+    (−count, label) struct — the argmax-by-struct-ordering trick, so the
+    per-node winner needs NO window/sort and hub nodes cost only their
+    aggregation fan-in. Per-round ``localCheckpoint`` truncates the
+    otherwise iterations-nested plan (the components/BFS discipline).
+    ``nodes``, if given, is a 1-column DataFrame adding isolated nodes
+    (they keep their own label); otherwise nodes = pair endpoints."""
+    e = pairs.select(
+        F.col(a_col).alias("_u"), F.col(b_col).alias("_v")
+    ).filter(F.col("_u") != F.col("_v")).distinct()
+    sym = e.select(F.col("_u").alias("x"), F.col("_v").alias("nbr")).union(
+        e.select(F.col("_v").alias("x"), F.col("_u").alias("nbr"))
+    ).localCheckpoint()
+    if nodes is None:
+        node_df = sym.select(F.col("x").alias("node")).distinct()
+    else:
+        node_df = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    node_df = node_df.localCheckpoint()
+    labels = node_df.select("node", F.col("node").alias("lbl"))
+    for _ in range(iterations):
+        nb = sym.join(
+            labels.select(F.col("node").alias("nbr"), F.col("lbl").alias("nbl")),
+            "nbr",
+        )
+        cnt = nb.groupBy("x", "nbl").agg(F.count(F.lit(1)).alias("_c"))
+        pick = (
+            cnt.groupBy("x")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_c")).alias("nc"), F.col("nbl").alias("l"))
+                ).alias("_m")
+            )
+            .select(F.col("x").alias("node"), F.col("_m.l").alias("_new"))
+        )
+        labels = (
+            node_df.join(labels, "node")
+            .join(pick, "node", "left")
+            .select(
+                "node", F.coalesce(F.col("_new"), F.col("lbl")).alias("lbl")
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community_id"))

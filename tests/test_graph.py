@@ -576,3 +576,33 @@ def test_graph_communities_composition_planted(spark):
     comp = connected_components_star(nodes, pairs, id_col="addr")
     got = {r["addr"]: r["component_id"] for r in comp.collect()}
     assert got == {"A": "A", "B": "A", "C": "A", "D": "D"}
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    """label_propagation (round 5): triangles {a,b,c} and {x,y,z} joined
+    by bridge c–x form ONE connected component but TWO LPA communities —
+    after 3 synchronous rounds (hand-unrolled: min-label ties round 1,
+    majority pull rounds 2-3) the left triangle converges to 'a' and the
+    right to 'c' (the bridge exports c's label, not a merged one). An
+    isolated node keeps its own label via the `nodes` argument."""
+    from extract_address_ner_spark.operators.graph_query import (
+        label_propagation,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"),
+         ("x", "y"), ("x", "z"), ("y", "z"),
+         ("c", "x")],
+        "addr_a string, addr_b string",
+    )
+    got = {r["node"]: r["community_id"]
+           for r in label_propagation(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "c", "y": "c", "z": "c"}
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("x",), ("y",), ("z",), ("lone",)],
+        "addr string")
+    got2 = {r["node"]: r["community_id"]
+            for r in label_propagation(pairs, nodes=nodes).collect()}
+    assert got2["lone"] == "lone"
+    assert {k: v for k, v in got2.items() if k != "lone"} == got

@@ -338,3 +338,21 @@ def test_repo_similarity_joins_on_filtered_index(spark):
     assert "partial_count" in plan, plan
     assert "Window" in plan, plan
     assert "row_number" in plan, plan
+
+
+def test_label_propagation_no_window_no_cartesian(spark):
+    """label_propagation (round 5): the per-round winner must be picked by
+    the groupBy-min-over-(−count, label)-struct trick — NO Window/sort in
+    the plan (a hub's candidate labels are aggregated, never sorted) —
+    and every join must stay a keyed equi-join."""
+    from extract_address_ner_spark.operators.graph_query import (
+        label_propagation,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "addr_a string, addr_b string")
+    plan = _plan(label_propagation(pairs, iterations=1))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "row_number" not in plan, plan
