@@ -961,6 +961,169 @@ def q_graph_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return integrity_report(build_edges(canon), build_nodes(canon))
 
 
+def gold_ntriples_sql() -> str:
+    from .operators.rdf import ntriples_sql
+
+    return ntriples_sql(gold_edges_sql())
+
+
+@register("graph_ntriples", gold_ntriples_sql(), driver=False)
+def q_graph_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG interchange export: the built edge table serialized as W3C
+    N-Triples lines (operators/rdf.to_ntriples) — one narrow Project, no
+    shuffle, written at scale with ``df.write.text``. The percent-escape
+    table is SHARED with the oracle SQL generator (rdf.iri_encode_sql), so
+    both engines build the identical line by construction. Pytest-carried
+    (driver registry is at its 50-entry cap; tests/test_registry_oracles.py
+    replays this against the oracle exactly the way the driver would)."""
+    from .operators.rdf import to_ntriples
+
+    return to_ntriples(_built_edges(spark, sf_dir))
+
+
+def gold_ntriples_roundtrip_sql() -> str:
+    return f"""
+WITH _edges AS ({gold_edges_sql()})
+SELECT subj, pred, obj FROM _edges"""
+
+
+@register("graph_ntriples_roundtrip", gold_ntriples_roundtrip_sql(),
+          driver=False)
+def q_graph_ntriples_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange round-trip: the edge table serialized to N-Triples lines
+    (rdf.to_ntriples) and parsed straight back (rdf.from_ntriples — regexp
+    capture + the SAME escape table applied in reverse), compared against
+    the DuckDB gold edges. A lossy escape, a greedy capture, or a decode-
+    order bug each breaks the hash, so the oracle pins serialize∘parse =
+    identity cross-engine. Both legs are narrow map-only plans — the
+    round-trip adds zero shuffles. Pytest-carried (driver registry is at
+    its 50-entry cap; tests/test_registry_oracles.py replays this)."""
+    from .operators.rdf import from_ntriples, to_ntriples
+
+    return from_ntriples(to_ntriples(_built_edges(spark, sf_dir)))
+
+
+def gold_bgp_match_sql() -> str:
+    """The compiled BGP's exact SQL twin: required patterns are inner joins
+    on the shared variable — bag semantics on both engines."""
+    return f"""
+WITH _edges AS ({gold_edges_sql()})
+SELECT m.subj AS file, m.obj AS addr, l.obj AS region
+FROM _edges m
+JOIN _edges l ON l.pred = 'located_in' AND l.subj = m.obj
+WHERE m.pred = 'mentions_address'"""
+
+
+@register("graph_bgp_match", gold_bgp_match_sql(), driver=False)
+def q_graph_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style triple-pattern query over the KG, compiled to DataFrame
+    joins (operators/bgp.bgp_query): which file mentions which address in
+    which region — a two-pattern chain whose shared variable becomes the
+    equi-join key Catalyst/AQE is free to broadcast. Pytest-carried (driver
+    registry is at its 50-entry cap; tests/test_registry_oracles.py replays
+    this against the oracle exactly the way the driver would)."""
+    from .operators.bgp import bgp_query
+
+    return bgp_query(
+        _built_edges(spark, sf_dir),
+        patterns=[("?file", "mentions_address", "?addr"),
+                  ("?addr", "located_in", "?region")],
+    )
+
+
+def gold_bgp_optional_sql() -> str:
+    """OPTIONAL ≙ SQL LEFT JOIN on the shared variable. Both branches are
+    populated on this corpus: address→root rows null the parent, the
+    backbone's deep chains (e.g. bundang→seongnam→gyeonggi) bind it."""
+    return f"""
+WITH _edges AS ({gold_edges_sql()})
+SELECT a.subj AS a, a.obj AS r, p.obj AS p
+FROM _edges a
+LEFT JOIN _edges p ON p.pred = 'located_in' AND p.subj = a.obj
+WHERE a.pred = 'located_in'"""
+
+
+@register("graph_bgp_optional", gold_bgp_optional_sql(), driver=False)
+def q_graph_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BGP compiler's OPTIONAL fragment: every located_in edge,
+    optionally extended one level up the region hierarchy — LEFT join on
+    the shared variable, nulls where the region is a hierarchy root and
+    bound parents along the backbone's deep chains (both branches are
+    populated on this corpus). Pytest-carried (driver registry is at its
+    50-entry cap; tests/test_registry_oracles.py replays this against the
+    oracle exactly the way the driver would)."""
+    from .operators.bgp import bgp_query
+
+    return bgp_query(
+        _built_edges(spark, sf_dir),
+        patterns=[("?a", "located_in", "?r")],
+        optional=[("?r", "located_in", "?p")],
+    )
+
+
+def gold_bgp_negation_sql() -> str:
+    """FILTER NOT EXISTS ≙ SQL NOT EXISTS on the shared variable (the anti
+    join's distinct projection makes the two exactly equivalent)."""
+    return f"""
+WITH _edges AS ({gold_edges_sql()})
+SELECT a.subj AS a, a.obj AS r
+FROM _edges a
+WHERE a.pred = 'located_in'
+  AND NOT EXISTS (SELECT 1 FROM _edges f
+                  WHERE f.pred = 'mentions_address' AND f.obj = a.subj)"""
+
+
+@register("graph_bgp_negation", gold_bgp_negation_sql(), driver=False)
+def q_graph_bgp_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BGP compiler's FILTER NOT EXISTS fragment: located_in subjects
+    that NO file mentions — on this corpus exactly the backbone's child
+    regions (every address is mentioned by construction, so the anti join
+    genuinely discriminates). Compiled to a LEFT ANTI join on the shared
+    variable (operators/bgp.bgp_query ``not_exists``). Pytest-carried
+    (driver registry is at its 50-entry cap; tests/test_registry_oracles.py
+    replays this against the oracle exactly the way the driver would)."""
+    from .operators.bgp import bgp_query
+
+    return bgp_query(
+        _built_edges(spark, sf_dir),
+        patterns=[("?a", "located_in", "?r")],
+        not_exists=[("?f", "mentions_address", "?a")],
+    )
+
+
+def gold_bgp_path_sql(max_hops: int = 12) -> str:
+    """``located_in+`` ≙ a recursive CTE over the located_in edges with the
+    SAME hop cap (hops strictly increases so cycles terminate; the closing
+    DISTINCT gives the property path's set semantics on both engines)."""
+    return f"""
+WITH RECURSIVE _edges AS ({gold_edges_sql()}),
+tc(a, anc, hops) AS (
+  SELECT subj, obj, 1 FROM _edges WHERE pred = 'located_in'
+  UNION
+  SELECT tc.a, e.obj, tc.hops + 1 FROM tc
+  JOIN _edges e ON e.pred = 'located_in' AND e.subj = tc.anc
+  WHERE tc.hops < {max_hops})
+SELECT DISTINCT a, anc FROM tc"""
+
+
+@register("graph_bgp_path", gold_bgp_path_sql(), driver=False)
+def q_graph_bgp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BGP compiler's PROPERTY-PATH fragment: ``located_in+`` — every
+    (node, transitive ancestor) pair up the region hierarchy, so an address
+    reaches not just its district but every level above it (the query that
+    turns a hierarchy into a flat rollup key). Compiled to the bounded
+    pair-BFS closure (operators/bgp.transitive_pairs) and matched against a
+    DuckDB recursive CTE with the identical hop cap. Pytest-carried (driver
+    registry is at its 50-entry cap; tests/test_registry_oracles.py replays
+    this against the oracle exactly the way the driver would)."""
+    from .operators.bgp import bgp_query
+
+    return bgp_query(
+        _built_edges(spark, sf_dir),
+        patterns=[("?a", "located_in+", "?anc")],
+    )
+
+
 # cross-engine edge checksum term: md5-bridge of 'subj|pred|obj', reduced
 # mod M31 so the sum over all edges stays in BIGINT range under ANSI mode
 _EDGE_CK_SPARK = (
