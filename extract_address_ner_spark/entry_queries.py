@@ -638,6 +638,62 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_hop_reachability(edges, seeds, k=3)
 
 
+def gold_shortest_paths_sql(k: int = 4) -> str:
+    """Hop-capped min-cost reachability as a DuckDB RECURSIVE CTE: parallel
+    edges collapse to min cost per (u, v) first (same pre-step as the
+    operator), the working table carries (node, dist, hops) with hops
+    strictly increasing (cap {k} terminates cycles; UNION set semantics
+    dedupe identical partial paths), and min(dist) per node is the
+    Bellman-Ford answer. Accumulation is ``dist + w`` along the path on
+    both engines, so the doubles agree bit-for-bit before the shared 6dp
+    display rounding."""
+    return f"""
+WITH RECURSIVE _edges AS ({gold_edges_sql()}),
+ed AS (SELECT subj AS u, obj AS v,
+              min(CAST(1.05 AS DOUBLE) - confidence) AS w
+       FROM _edges GROUP BY 1, 2),
+m AS (SELECT DISTINCT subj AS node, split_part(subj, ':', 1) AS repo
+      FROM _edges WHERE pred = 'mentions_address'),
+seeds AS (SELECT node FROM m WHERE repo = (SELECT min(repo) FROM m)),
+walk(node, dist, hops) AS (
+  SELECT node, CAST(0.0 AS DOUBLE), 0 FROM seeds
+  UNION
+  SELECT ed.v, r.dist + ed.w, r.hops + 1 FROM walk r JOIN ed ON ed.u = r.node
+  WHERE r.hops < {k})
+SELECT node, CAST(round(min(dist), 6) AS DOUBLE) AS dist
+FROM walk GROUP BY node"""
+
+
+@register("graph_shortest_paths", gold_shortest_paths_sql(), driver=False)
+def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (confidence-cost) shortest paths from the lexicographically-
+    first repo's file nodes, ≤ 4 hops: edge cost = 1.05 − confidence, so
+    distance encodes both chain length and extraction confidence (a
+    mention hop costs 0.2, a hierarchy hop 0.05 — the "cheapest derivation
+    chain" read of the KG). Frontier Bellman-Ford
+    (graph_query.weighted_shortest_paths) vs a recursive-CTE min-cost
+    oracle with the identical hop cap. Pytest-carried (driver registry is
+    at its 50-entry cap; tests/test_registry_oracles.py replays this
+    against the oracle exactly the way the driver would)."""
+    from .operators.dedup import _persist
+    from .operators.graph_query import MENTIONS, weighted_shortest_paths
+
+    edges = _persist(_built_edges(spark, sf_dir))  # feeds seeds + BF
+    costed = edges.select(
+        "subj", "obj", (F.lit(1.05) - F.col("confidence")).alias("cost")
+    )
+    m = edges.filter(F.col("pred") == MENTIONS).select(
+        F.col("subj").alias("node"),
+        F.substring_index("subj", ":", 1).alias("repo"),
+    )
+    min_repo = m.agg(F.min("repo").alias("repo"))
+    seeds = m.join(F.broadcast(min_repo), "repo").select("node")
+    sp = weighted_shortest_paths(costed, seeds, k=4)
+    return sp.select(
+        "node", F.round("dist", 6).cast("double").alias("dist")
+    )
+
+
 def gold_comention_sql(cap: int = 100) -> str:
     """Repo-level address co-mention projection: rank-capped per-repo
     address sets self-joined on repo with addr_a < addr_b — identical cap

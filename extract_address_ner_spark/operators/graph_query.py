@@ -753,3 +753,79 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community_id"))
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    cost_col: str = "cost",
+) -> DataFrame:
+    """(node, dist): the minimum total ``cost`` over directed paths of at
+    most ``k`` edges from any seed — the weighted companion to
+    :func:`k_hop_reachability` (hops answer "how far"; this answers "how
+    trustworthy is the cheapest derivation chain" when cost encodes edge
+    confidence). ``seeds`` is a one-column DataFrame (``node``); costs must
+    be non-negative — a negative cost breaks the frontier argument on ANY
+    engine, so a negative min is rejected loudly up front.
+
+    Frontier Bellman-Ford: parallel edges collapse to min-cost per (src,
+    dst) once up front (one scalar probe on that persisted table is the
+    negative-cost guard); per round the CURRENT FRONTIER (only nodes whose
+    best distance improved last round, never the full settled set) joins
+    the edge list keyed on src, candidates take a map-side-combinable
+    per-node min, and one left join against the running best keeps strict
+    improvements. Per-round shuffle volume is ∝ frontier out-edges, the
+    per-round ``localCheckpoint`` truncates the plan (a k-deep lazy chain
+    would nest k joins into one Catalyst tree), and the loop early-exits
+    the round nothing improves — with non-negative costs a cycle never
+    improves, so termination needs no visited bookkeeping. After round i
+    the running best equals the min cost over paths of ≤ i edges (each
+    improvement re-enters the frontier, so a prefix that got cheaper
+    re-propagates), which is exactly the hop-capped recursive-CTE oracle
+    semantics (entry_queries.gold_shortest_paths_sql). Accumulation order
+    is along the path on both engines (dist + w, left to right), so the
+    doubles are bit-identical cross-engine; callers round for display.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ed = _persist(
+        edges.groupBy(
+            F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+        ).agg(F.min(cost_col).alias("_w"))
+    )
+    if ed.filter(F.col("_w") < 0).limit(1).count() > 0:
+        raise ValueError(f"negative edge cost in column {cost_col!r}")
+    best = (
+        seeds.select("node").distinct()
+        .withColumn("dist", F.lit(0.0).cast("double"))
+        .localCheckpoint()
+    )
+    frontier = best
+    for _ in range(k):
+        cand = (
+            frontier.join(ed, frontier["node"] == ed["_u"])
+            .select(F.col("_v").alias("node"),
+                    (F.col("dist") + F.col("_w")).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            cand.join(best.select("node", F.col("dist").alias("_bd")),
+                      "node", "left")
+            .filter(F.col("_bd").isNull() | (F.col("dist") < F.col("_bd")))
+            .select("node", "dist")
+            .localCheckpoint()  # truncate the per-round plan
+        )
+        if improved.limit(1).count() == 0:  # fixpoint before the hop cap
+            break
+        best = (
+            best.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        frontier = improved
+    return best

@@ -103,6 +103,12 @@ def main() -> int:
              "(one file per shard, per-shard doc/token manifest) under "
              "<warehouse>/shards — the training-data export stage")
     ap.add_argument(
+        "--export-ntriples", action="store_true",
+        help="additionally serialize the edge stage as W3C N-Triples "
+             "text under <warehouse>/ntriples (narrow map-only plan, one "
+             "part-file per partition) and verify the parse-back equals "
+             "the edge table exactly — the KG interchange export stage")
+    ap.add_argument(
         "--incremental-dedup", type=int, metavar="N_DROPS",
         help="demonstrate NEAR-dup dedup-on-arrival: replay the corpus "
              "stage as N_DROPS deltas through merge_dedup_labels "
@@ -354,6 +360,26 @@ def main() -> int:
               f"shards, roundtrip_complete="
               f"{'true' if back == man['total_docs'] else 'false'}")
         if back != man["total_docs"]:
+            ok = False
+    if args.export_ntriples:
+        from extract_address_ner_spark.operators.rdf import (
+            from_ntriples,
+            to_ntriples,
+        )
+
+        nt_dir = str(Path(args.warehouse) / "ntriples")
+        shutil.rmtree(nt_dir, ignore_errors=True)
+        triples = out["edges"].select("subj", "pred", "obj")
+        # narrow map-only serialization: one text part-file per partition
+        to_ntriples(triples).write.text(nt_dir)
+        parsed = from_ntriples(spark.read.text(nt_dir).withColumnRenamed(
+            "value", "line"))
+        nt_diff = (parsed.exceptAll(triples).count()
+                   + triples.exceptAll(parsed).count())
+        n_lines = spark.read.text(nt_dir).count()
+        print(f"export_ntriples: {n_lines} lines under {nt_dir}, "
+              f"roundtrip_exact={'true' if nt_diff == 0 else 'false'}")
+        if nt_diff != 0:
             ok = False
     if args.incremental_dedup:
         from pyspark.sql import functions as F

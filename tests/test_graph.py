@@ -1,6 +1,7 @@
 """Validation, canonicalization, linking, graph materialization."""
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from extract_address_ner_spark import oracle
@@ -375,6 +376,48 @@ def test_k_hop_reachability_min_hops(spark):
     assert {r["node"]: r["hops"]
             for r in k_hop_reachability(edges, dup_seeds, k=3).collect()
             } == got
+
+
+def test_weighted_shortest_paths_planted(spark):
+    """weighted_shortest_paths (round 5) on a planted graph pinning the
+    Bellman-Ford invariants the registry query's near-uniform corpus
+    weights can't discriminate: a CHEAPER longer path beats a heavier
+    direct edge (and the improvement re-propagates downstream), parallel
+    edges collapse to their min cost, the hop cap excludes the cheap route
+    when it needs too many edges, zero-cost cycles terminate, and negative
+    costs are rejected loudly."""
+    rows = [
+        ("s", "t", 10.0),                      # direct but heavy
+        ("s", "a", 1.0), ("a", "b", 1.0), ("b", "t", 1.0),  # 3 hops, cost 3
+        ("s", "a", 5.0),                        # parallel edge: min wins
+        ("t", "d", 1.0),                        # improvement must propagate
+        ("t", "s", 0.0),                        # zero-cost cycle to the seed
+        ("x", "y", 1.0),                        # unreachable island
+    ]
+    edges = spark.createDataFrame(rows, "subj string, obj string, cost double")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    from extract_address_ner_spark.operators.graph_query import (
+        weighted_shortest_paths,
+    )
+
+    def run(k):
+        return {r["node"]: r["dist"]
+                for r in weighted_shortest_paths(
+                    edges, seeds, k, dst_col="obj").collect()}
+
+    # k=4: the 3-hop cost-3 route wins over the direct cost-10 edge, and
+    # d sees the improved t (3 + 1); s stays 0 through the cycle
+    assert run(4) == {"s": 0.0, "a": 1.0, "b": 2.0, "t": 3.0, "d": 4.0}
+    # k=2: only the heavy direct edge fits the hop budget for t
+    assert run(2) == {"s": 0.0, "a": 1.0, "b": 2.0, "t": 10.0, "d": 11.0}
+    # k past the diameter: early-exit, island stays out
+    assert run(9) == run(4)
+    # negative cost: loud rejection, not a silent wrong fixpoint
+    neg = spark.createDataFrame(
+        [("s", "t", -1.0)], "subj string, obj string, cost double"
+    )
+    with pytest.raises(ValueError, match="negative"):
+        weighted_shortest_paths(neg, seeds, k=2, dst_col="obj")
 
 
 def test_integrity_report_detects_planted_corruption(spark):

@@ -79,6 +79,15 @@ def test_job_entry_export_shards(tmp_path):
     assert "roundtrip_complete=true" in stdout
 
 
+def test_job_entry_export_ntriples(tmp_path):
+    """Round-5: the shipped job serializes the edge stage as W3C N-Triples
+    text and pins parse-back identity against the edge table."""
+    stdout = _run_job(tmp_path,
+                      ["--master", "local[2]", "--export-ntriples"])
+    assert "roundtrip_exact=true" in stdout
+    assert "export_ntriples:" in stdout
+
+
 def test_job_entry_local_cluster(tmp_path):
     """The deployment shape: 2 real executor JVMs x 2 cores, quota-sized
     GC — the same master the 367k-triples/s bench leg uses."""
