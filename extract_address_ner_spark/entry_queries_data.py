@@ -887,6 +887,11 @@ WITH m AS (
 SELECT doc_id, n_frames,
   CAST(len(generate_series(0, n_frames - 1, 30)) AS INT) AS n_sampled
 FROM m WHERE media_type = 'video'""",
+    # pytest-carried (tests/test_registry_oracles.py): derived from the SAME
+    # synth_media metadata that media_metadata (driver-checked) pins; the
+    # sampling arithmetic itself is oracle-replayed under pytest. Demoted to
+    # free a driver slot for the data-hygiene family (docs_pii_redact).
+    driver=False,
 )
 def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import sample_frames, synth_media
@@ -919,6 +924,11 @@ SELECT t.doc_id AS doc_id,
   CAST(round(coalesce(c, 0) / n, 6) AS DOUBLE) AS bin_value
 FROM totals t CROSS JOIN generate_series(0, 15) g(bin_idx)
 LEFT JOIN counts ON counts.doc_id = t.doc_id AND counts.bin_idx = g.bin_idx""",
+    # pytest-carried (tests/test_registry_oracles.py): exercises the same
+    # binary→Arrow→mapInPandas decode path as media_metadata/frame-sampling;
+    # full value compare still runs under pytest. Demoted to free a driver
+    # slot for the data-hygiene family (docs_decontaminate).
+    driver=False,
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ByteHistogramDecoder output IS driver-checkable: the payload is
@@ -937,3 +947,84 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "media_type", "bin_idx",
         F.round(F.col("_v"), 6).alias("bin_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# training-data hygiene: PII redaction + eval-set decontamination
+# --------------------------------------------------------------------------
+
+# Deterministic PII injection (the raw documents corpus has no PII): one
+# email / phone / IPv4 per doc_id % 4 class, the fourth class left clean.
+# Identical dialect subset in both engines, so the oracle sees the exact
+# same input text.
+PII_DOCS = """
+SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN text || ' contact user' || doc_id || '@example.com now'
+    WHEN 1 THEN text || ' call +1 (555) 010-' || (1000 + doc_id % 9000) || ' today'
+    WHEN 2 THEN text || ' host 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) || ' up'
+    ELSE text END AS text
+FROM documents
+""".strip()
+
+# DuckDB replay of sanitize.PII_STEPS: each count taken on the text as
+# redacted by the PREVIOUS steps (same sequential semantics as pii_redact);
+# DuckDB regexp_replace needs the explicit 'g' flag Spark applies always.
+from .operators.sanitize import EMAIL_RE, IPV4_RE, PHONE_RE  # noqa: E402
+
+
+@register(
+    "docs_pii_redact",
+    f"""
+WITH p AS ({PII_DOCS}),
+r1 AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+  regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM p),
+r2 AS (SELECT doc_id, n_emails,
+  CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS INT) AS n_ips,
+  regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2 FROM r1)
+SELECT doc_id, n_emails, n_ips,
+  CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS INT) AS n_phones,
+  regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM r2""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-value check of the redaction chain: per-type counts AND the
+    redacted text itself compared bit-for-bit against the DuckDB replay.
+    Narrow zero-Exchange plan (pinned in tests/test_plans.py)."""
+    from .operators.sanitize import pii_redact
+
+    register_documents(spark, sf_dir)
+    return pii_redact(spark.sql(PII_DOCS)).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "redacted"
+    )
+
+
+# DuckDB mirror of sanitize._ngrams (lowercased whitespace 5-grams); rows
+# with < n tokens contribute nothing on either engine.
+_D_LWS = "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
+_D_NG5 = ("list_transform(generate_series(1, len(ws) - 4), "
+          "i -> array_to_string(list_slice(ws, i, i + 4), ' '))")
+
+
+@register(
+    "docs_decontaminate",
+    f"""
+WITH evt AS (SELECT {_D_LWS} AS ws FROM documents WHERE doc_id % 17 = 5),
+ev AS (SELECT DISTINCT unnest({_D_NG5}) AS ng FROM evt WHERE len(ws) >= 5),
+trt AS (SELECT doc_id, {_D_LWS} AS ws FROM documents),
+tr AS (SELECT doc_id, unnest({_D_NG5}) AS ng FROM trt WHERE len(ws) >= 5)
+SELECT tr.doc_id AS doc_id, count(DISTINCT tr.ng) AS n_eval_ngrams
+FROM tr JOIN ev USING (ng) GROUP BY tr.doc_id""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval split := documents with doc_id % 17 = 5 (verbatim members of the
+    training corpus, so contamination exists by construction — each eval doc
+    must at minimum flag itself). Broadcast eval n-gram set; the training
+    side is never shuffled (plan pinned in tests/test_plans.py)."""
+    from .operators.sanitize import decontaminate
+
+    register_documents(spark, sf_dir)
+    ev = spark.sql("SELECT doc_id, text FROM documents WHERE doc_id % 17 = 5")
+    tr = spark.sql("SELECT doc_id, text FROM documents")
+    return decontaminate(tr, ev, n=5)

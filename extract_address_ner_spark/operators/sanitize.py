@@ -1,0 +1,134 @@
+"""Training-data hygiene operators: PII redaction and eval-set n-gram
+decontamination.
+
+Both are standard stages of a large-scale LLM training-data pipeline and
+round out the documents-table operator family (textstats / dedup / export):
+
+- :func:`pii_redact` — scrub emails, phone numbers, and IPv4 addresses from
+  a text column, emitting per-type match counts and the redacted text. Pure
+  built-in ``regexp_*`` expressions: JVM-side, codegen-friendly, a NARROW
+  plan with zero Exchange at any corpus size (plan-pinned,
+  tests/test_plans.py). Patterns are restricted to the Java-regex ∩ RE2
+  common subset (character classes only — no ``\\d``/``\\b``, no lookaround)
+  so the DuckDB oracle replays them verbatim and matches bit-for-bit.
+
+- :func:`decontaminate` — mark training documents that share any n-token
+  n-gram with an evaluation corpus: the canonical benchmark-decontamination
+  shape (GPT-3 appendix C / the Pile: 13-gram overlap against test sets).
+  The EVAL side — small by construction: benchmarks are thousands of
+  documents, not billions — is distinct'd and broadcast; the TRAINING side
+  streams through tokenize → n-gram → explode → broadcast-hash semi-join
+  with NO shuffle of the big side; only the (rare) matching rows reach the
+  per-document count aggregation. At 100 TB the training corpus is never
+  shuffled and the only state per executor is the broadcast eval n-gram
+  set; if the eval set ever outgrows broadcast range, swap the broadcast
+  hint for a shuffle join on the n-gram — the operator body is unchanged.
+  For memory-tight deployments the joined column can be a 64-bit hash of
+  the n-gram instead of the string (same plan shape); the string form is
+  kept here because the driver oracle compares exact values and a hash
+  collision, however unlikely, must not be able to flip a verdict.
+
+No reference citation: the reference (a Korean-address NER service) has no
+data-hygiene surface; these operators are new scope per the round
+instructions ("operations a large-scale training-data pipeline would
+need"), sharing the documents-table conventions of functions/textstats.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Java-regex ∩ RE2 common subset (character classes only). Order of
+# application is email → IPv4 → phone: the phone class has no '.', so it can
+# never span an IPv4 octet boundary, but scrubbing emails first keeps digit
+# runs inside a local-part (user123@…) out of the phone scan entirely.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+PHONE_RE = "[+]?[0-9][0-9() -]{6,}[0-9]"
+
+#: (output-count column, pattern, replacement token), applied in order —
+#: each count is taken on the text as redacted by the PREVIOUS steps, so the
+#: triple (counts, redacted) is well-defined and engine-independent.
+PII_STEPS: tuple[tuple[str, str, str], ...] = (
+    ("n_emails", EMAIL_RE, "<EMAIL>"),
+    ("n_ips", IPV4_RE, "<IP>"),
+    ("n_phones", PHONE_RE, "<PHONE>"),
+)
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).cast("int")
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``n_emails``/``n_ips``/``n_phones`` counts and a ``redacted``
+    text column. Narrow (zero-Exchange) whole-stage-codegen plan."""
+    cur: Column = F.col(text_col)
+    for count_col, pattern, token in PII_STEPS:
+        df = df.withColumn(count_col, _count_matches(cur, pattern))
+        cur = F.regexp_replace(cur, F.lit(pattern), F.lit(token))
+    return df.withColumn("redacted", cur)
+
+
+# --------------------------------------------------------------------------
+# decontamination
+# --------------------------------------------------------------------------
+
+
+def _ngrams(text_col: str, n: int) -> Column:
+    """Lowercased whitespace-token n-grams; fewer than ``n`` tokens → empty.
+    Tokenization (split on ' ', drop empties, lower) matches
+    functions/textstats.py's whitespace tokenizer and the DuckDB oracle."""
+    ws = f"filter(split(lower({text_col}), ' '), t -> t != '')"
+    return F.expr(
+        f"CASE WHEN size({ws}) >= {n} THEN "
+        f"transform(sequence(1, size({ws}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({ws}, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def eval_ngram_set(eval_df: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
+    """Distinct n-grams of the evaluation corpus — the (small) broadcast side."""
+    return (
+        eval_df.select(F.explode(_ngrams(text_col, n)).alias("_ng"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-training-document count of DISTINCT eval n-grams it contains;
+    documents with zero hits are absent from the result. Plan shape:
+    train-side explode → BroadcastHashJoin (semi-ish inner on the distinct
+    eval set) → partial+final count-distinct keyed by ``id_col``; the only
+    shuffled rows are actual contamination hits."""
+    if "_ng" in train_df.columns or "_ng" in eval_df.columns:
+        raise ValueError("decontaminate: input already has a '_ng' column")
+    ev = eval_ngram_set(eval_df, n=n, text_col=text_col)
+    hits = (
+        train_df.select(F.col(id_col), F.explode(_ngrams(text_col, n)).alias("_ng"))
+        .join(F.broadcast(ev), "_ng")
+        .groupBy(id_col)
+        .agg(F.countDistinct("_ng").alias("n_eval_ngrams"))
+    )
+    return hits
+
+
+def keep_clean(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop contaminated documents: left-anti join of the training corpus
+    against the contamination hits — the production decontamination sink."""
+    hits = decontaminate(train_df, eval_df, n=n, text_col=text_col, id_col=id_col)
+    return train_df.join(hits.select(id_col), id_col, "left_anti")
