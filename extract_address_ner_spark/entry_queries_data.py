@@ -1028,3 +1028,113 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.sql("SELECT doc_id, text FROM documents WHERE doc_id % 17 = 5")
     tr = spark.sql("SELECT doc_id, text FROM documents")
     return decontaminate(tr, ev, n=5)
+
+
+# --------------------------------------------------------------------------
+# repetition quality stats + cross-document line dedup
+# --------------------------------------------------------------------------
+
+# Deterministic line-structure injection (the raw corpus is single-line):
+# class 0 gets a shared header AND footer (cross-doc boilerplate), class 1 a
+# shared footer plus its own 20-char prefix TWICE (in-doc duplicate lines
+# that are NOT cross-doc boilerplate), class 2 stays single-line. Shared
+# dialect subset (chr/substr/||/CASE) so both engines see identical text.
+LINE_DOCS = """
+SELECT doc_id,
+  CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN 'SUBSCRIBE NOW' || chr(10) || text || chr(10)
+                || 'copyright 2026 example corp'
+    WHEN 1 THEN text || chr(10) || 'copyright 2026 example corp' || chr(10)
+                || substr(text, 1, 20) || chr(10) || substr(text, 1, 20)
+    ELSE text END AS text
+FROM documents
+""".strip()
+
+# DuckDB list-HOF mirrors of the Spark expressions in with_repetition_stats
+_D_LINES = ("list_filter(list_transform(string_split(text, chr(10)), "
+            "l -> trim(l)), l -> l != '')")
+_D_WS2 = "list_filter(string_split(lower(text), ' '), t -> t != '')"
+_D_BG = ("CASE WHEN len(ws) >= 2 THEN list_transform("
+         "generate_series(1, len(ws) - 1), "
+         "i -> array_to_string(list_slice(ws, i, i + 1), ' ')) "
+         "ELSE [] END")
+
+
+@register(
+    "docs_repetition_stats",
+    f"""
+WITH p AS ({LINE_DOCS}),
+base AS (SELECT doc_id, text, {_D_LINES} AS ls, {_D_WS2} AS ws FROM p),
+b2 AS (SELECT doc_id, text, ls, {_D_BG} AS bg FROM base),
+b3 AS (SELECT doc_id, text, ls, bg,
+  CASE WHEN len(bg) > 0 THEN list_max(list_transform(list_distinct(bg),
+    b -> len(list_filter(bg, x -> x = b)))) END AS maxc FROM b2),
+b4 AS (SELECT doc_id, text, ls, bg, maxc,
+  CASE WHEN len(bg) > 0 THEN list_min(list_filter(list_distinct(bg),
+    b -> len(list_filter(bg, x -> x = b)) = maxc)) END AS top FROM b3)
+SELECT doc_id,
+  CAST(len(ls) AS INT) AS n_lines,
+  CAST(round(CASE WHEN len(ls) > 0
+    THEN 1 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+    ELSE 0 END, 4) AS DOUBLE) AS dup_line_frac,
+  CAST(round(CASE WHEN coalesce(list_sum(list_transform(ls,
+      l -> strlen(l))), 0) > 0
+    THEN CAST(coalesce(list_sum(list_transform(list_distinct(ls),
+      l -> (len(list_filter(ls, x -> x = l)) - 1) * strlen(l))), 0)
+      AS DOUBLE) / list_sum(list_transform(ls, l -> strlen(l)))
+    ELSE 0 END, 4) AS DOUBLE) AS dup_line_char_frac,
+  top AS top_bigram,
+  CAST(round(CASE WHEN len(bg) > 0
+    THEN CAST(maxc * strlen(top) AS DOUBLE) / greatest(strlen(text), 1)
+    ELSE 0 END, 4) AS DOUBLE) AS top2gram_char_frac
+FROM b4""",
+    # pytest-carried (tests/test_registry_oracles.py): driver registry is at
+    # its 50-entry cap.
+    driver=False,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals over the line-injected corpus; full
+    value compare including the tie-broken top bigram. Narrow zero-Exchange
+    plan (pinned in tests/test_repetition.py)."""
+    from .functions.textstats import with_repetition_stats
+
+    register_documents(spark, sf_dir)
+    return with_repetition_stats(spark.sql(LINE_DOCS)).select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top_bigram", "top2gram_char_frac",
+    )
+
+
+@register(
+    "docs_line_dedup",
+    f"""
+WITH p AS ({LINE_DOCS}),
+l0 AS (SELECT doc_id, {_D_LINES} AS ls FROM p),
+lines AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos,
+  unnest(ls) AS line FROM l0),
+boiler AS (SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS n FROM lines GROUP BY line)
+  WHERE n >= 2),
+flagged AS (SELECT doc_id, pos, line,
+  line IN (SELECT line FROM boiler) AS b FROM lines)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN NOT b THEN line END, chr(10) ORDER BY pos),
+           '') AS redacted,
+  CAST(count(*) FILTER (WHERE NOT b) AS INT) AS n_lines_kept,
+  CAST(count(*) FILTER (WHERE b) AS INT) AS n_lines_dropped
+FROM flagged GROUP BY doc_id""",
+    # pytest-carried (tests/test_registry_oracles.py): driver registry is at
+    # its 50-entry cap.
+    driver=False,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate-line removal over the
+    line-injected corpus: the shared header/footer lines (planted in >100
+    docs each) disappear from every document, in-doc-only duplicates stay.
+    Full value compare of the reassembled text plus kept/dropped counts."""
+    from .operators.sanitize import dedup_lines
+
+    register_documents(spark, sf_dir)
+    return dedup_lines(spark.sql(LINE_DOCS)).select(
+        "doc_id", "redacted", "n_lines_kept", "n_lines_dropped"
+    )

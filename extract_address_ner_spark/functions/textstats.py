@@ -109,6 +109,110 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", pred)
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals, per document:
+
+    - ``n_lines``: non-blank (trimmed) lines.
+    - ``dup_line_frac``: fraction of lines that are repeats of an earlier
+      line value (``1 - distinct/total``; 0 for line-less docs).
+    - ``dup_line_char_frac``: fraction of line characters contained in
+      occurrences AFTER the first of each repeated line value —
+      ``sum((count_l - 1) * len(l)) / sum(len(l))`` over distinct lines l.
+    - ``top_bigram``: the most frequent lowercased word 2-gram (ties break
+      to the lexicographically smallest; NULL when < 2 words).
+    - ``top2gram_char_frac``: chars covered by that bigram's occurrences —
+      ``count * len(top_bigram) / len(text)`` (the Gopher "fraction of
+      characters in the most common n-gram" filter at n=2).
+
+    All array-local HOF expressions — a NARROW zero-Exchange projection.
+    The distinct×occurrence scans are O(m·d) per doc (m tokens/lines, d
+    distinct): fine at prose-document lengths and exactly mirrorable in the
+    DuckDB oracle; for extreme documents (m in the hundreds of thousands)
+    the same statistics are computable as explode → groupBy → window-max at
+    the cost of a shuffle — this local form keeps the 100 TB plan scan-bound.
+    Fractions are 4-dp-rounded doubles so both engines hash identically.
+    """
+    for helper in ("_lines", "_bg"):
+        if helper in df.columns:
+            raise ValueError(
+                f"with_repetition_stats: input already has a {helper!r} column"
+            )
+    lines_expr = (
+        f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), "
+        f"l -> l != '')"
+    )
+    ws = f"filter(split(lower({text_col}), ' '), t -> t != '')"
+    bg_expr = (
+        f"CASE WHEN size({ws}) >= 2 THEN "
+        f"transform(sequence(1, size({ws}) - 1), i -> concat_ws(' ', slice({ws}, i, 2))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    df = df.withColumn("_lines", F.expr(lines_expr)).withColumn("_bg", F.expr(bg_expr))
+    tot_line_chars = F.expr(
+        "aggregate(_lines, CAST(0 AS BIGINT), (a, l) -> a + length(l))"
+    )
+    dup_line_chars = F.expr(
+        "aggregate(array_distinct(_lines), CAST(0 AS BIGINT), (a, l) -> "
+        "a + (size(filter(_lines, x -> x = l)) - 1) * length(l))"
+    )
+    maxc = (
+        "array_max(transform(array_distinct(_bg), "
+        "b -> size(filter(_bg, x -> x = b))))"
+    )
+    top = (
+        f"array_min(filter(array_distinct(_bg), "
+        f"b -> size(filter(_bg, x -> x = b)) = {maxc}))"
+    )
+    n_lines = F.expr("size(_lines)")
+    out = (
+        df.withColumn("n_lines", n_lines.cast("int"))
+        .withColumn(
+            "dup_line_frac",
+            F.round(
+                F.when(n_lines > 0,
+                       1.0 - F.expr("size(array_distinct(_lines))") / n_lines)
+                .otherwise(F.lit(0.0)), 4).cast("double"),
+        )
+        .withColumn(
+            "dup_line_char_frac",
+            F.round(
+                F.when(tot_line_chars > 0, dup_line_chars / tot_line_chars)
+                .otherwise(F.lit(0.0)), 4).cast("double"),
+        )
+        .withColumn("top_bigram", F.expr(f"CASE WHEN size(_bg) > 0 THEN {top} END"))
+        .withColumn(
+            "top2gram_char_frac",
+            F.round(
+                F.when(
+                    F.expr("size(_bg)") > 0,
+                    F.expr(f"{maxc} * length({top})")
+                    / F.greatest(F.length(text_col), F.lit(1)),
+                ).otherwise(F.lit(0.0)), 4).cast("double"),
+        )
+    )
+    return out.drop("_lines", "_bg")
+
+
+def gopher_repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2gram_char_frac: float = 0.20,
+) -> DataFrame:
+    """Keep documents passing the Gopher repetition thresholds (the paper's
+    rule shape; defaults are its published dup-line/char bounds and the
+    n=2 top-n-gram bound). A pure filter over :func:`with_repetition_stats` —
+    still a narrow, scan-bound plan."""
+    stats = with_repetition_stats(df, text_col=text_col)
+    kept = stats.filter(
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("top2gram_char_frac") <= max_top2gram_char_frac)
+    )
+    return kept.select(*df.columns)
+
+
 def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """sha256 content hash + 64-bit md5-derived fingerprint (the md5-prefix
     trick is the cross-engine-reproducible stand-in for a rolling hash)."""

@@ -28,6 +28,13 @@ round out the documents-table operator family (textstats / dedup / export):
   kept here because the driver oracle compares exact values and a hash
   collision, however unlikely, must not be able to flip a verdict.
 
+- :func:`boilerplate_lines` / :func:`dedup_lines` — C4-style CROSS-document
+  line-level deduplication: line values shared by ``min_docs``+ distinct
+  documents (cookie banners, nav bars, license headers) are identified by
+  one line-keyed aggregation and removed from every document by a broadcast
+  anti-join, preserving the order of surviving lines. Documents with no
+  non-blank lines at all contribute no output row (nothing to clean).
+
 No reference citation: the reference (a Korean-address NER service) has no
 data-hygiene surface; these operators are new scope per the round
 instructions ("operations a large-scale training-data pipeline would
@@ -119,6 +126,87 @@ def decontaminate(
         .agg(F.countDistinct("_ng").alias("n_eval_ngrams"))
     )
     return hits
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trimmed non-blank line values appearing in at least ``min_docs``
+    DISTINCT documents, with their document frequency — the corpus-level
+    boilerplate table (nav bars, cookie banners, license headers). One
+    shuffle keyed by line value with map-side partial aggregation; output
+    size is bounded by total_lines / min_docs and in practice tiny."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.expr(f"filter(transform(split({text_col}, '\\n'), "
+                         f"l -> trim(l)), l -> l != '')")).alias("line"),
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).cast("int").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_boilerplate: bool = True,
+) -> DataFrame:
+    """C4-style cross-document line deduplication: drop every occurrence of
+    any (trimmed) line value appearing in ``min_docs``+ distinct documents,
+    keeping the remaining lines in original order. Emits ``(id_col,
+    redacted, n_lines_kept, n_lines_dropped)``; a document that was ALL
+    boilerplate survives with ``redacted = ''`` (filter on n_lines_kept to
+    drop it — that decision belongs to the caller).
+
+    Plan shape: one line-keyed aggregation builds the boilerplate set
+    (:func:`boilerplate_lines`); the corpus's exploded lines take a
+    broadcast LEFT join against it (a keep/drop flag, never losing rows)
+    and ONE per-document aggregation reassembles surviving lines and counts
+    both sides — no doc-keyed join anywhere, so the only corpus-sized
+    shuffle is the reassembly groupBy. With ``broadcast_boilerplate``
+    (default) the flag join is a BroadcastHashJoin — the boilerplate table
+    is high-df lines only, bounded by total_lines/min_docs and in practice
+    small; set it False on a corpus where the boilerplate table itself is
+    huge and the same body degrades to a shuffle join on the line value.
+    """
+    for helper in ("_pos", "line", "_boiler"):
+        if helper in df.columns:
+            raise ValueError(
+                f"dedup_lines: input already has a {helper!r} column"
+            )
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"transform(split({text_col}, '\\n'), l -> trim(l))")
+        ).alias("_pos", "line"),
+    ).filter(F.col("line") != "")
+    boiler = boilerplate_lines(
+        df, min_docs=min_docs, text_col=text_col, id_col=id_col
+    ).select("line", F.lit(True).alias("_boiler"))
+    if broadcast_boilerplate:
+        boiler = F.broadcast(boiler)
+    flagged = lines.join(boiler, "line", "left").select(
+        id_col, "_pos", "line",
+        F.coalesce("_boiler", F.lit(False)).alias("_boiler"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.expr(
+            "array_join(transform(filter(array_sort(collect_list("
+            "struct(_pos, line, _boiler))), s -> NOT s._boiler), "
+            "s -> s.line), '\\n')"
+        ).alias("redacted"),
+        F.sum(F.when(~F.col("_boiler"), 1).otherwise(0))
+        .cast("int").alias("n_lines_kept"),
+        F.sum(F.when(F.col("_boiler"), 1).otherwise(0))
+        .cast("int").alias("n_lines_dropped"),
+    )
 
 
 def keep_clean(

@@ -1,0 +1,166 @@
+"""Gopher-style repetition stats (functions/textstats.py) and C4-style
+cross-document line dedup (operators/sanitize.py).
+
+Fixtures are hand-computable; plan pins enforce the scale shapes —
+repetition stats must stay a narrow zero-Exchange projection, and
+dedup_lines must anti-join the corpus against a BROADCAST boilerplate set.
+"""
+
+import pytest
+
+from extract_address_ner_spark.functions.textstats import (
+    gopher_repetition_filter,
+    with_repetition_stats,
+)
+from extract_address_ner_spark.operators.sanitize import (
+    boilerplate_lines,
+    dedup_lines,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def rep_df(spark):
+    rows = [
+        # 4 lines, 3 distinct ("spam spam" repeats) → dup_line_frac 0.25;
+        # line chars: spam(4)+spam spam(9)+spam spam(9)+unique here(11) = 33,
+        # dup chars = (2-1)*9 = 9 → 0.2727
+        (0, "spam\nspam spam\nspam spam\nunique here"),
+        (1, "all lines differ\ncompletely\nhere"),
+        (2, "no newline single line"),
+        (3, ""),
+        # bigram torture: "go go go go" → bigrams [go go]*3, top covers
+        # 3*5=15 chars of 11 → capped? no cap: 15/11 = 1.3636 (>1 is fine:
+        # occurrences overlap; Gopher compares against a threshold)
+        (4, "go go go go"),
+        # tie between "a b" and "b a" (2 each) → lexicographically smaller
+        # "a b" wins
+        (5, "a b a b a"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_lines(spark, rep_df):
+    out = {r["doc_id"]: r for r in with_repetition_stats(rep_df).collect()}
+    assert out[0]["n_lines"] == 4
+    assert out[0]["dup_line_frac"] == 0.25
+    assert out[0]["dup_line_char_frac"] == round(9 / 33, 4)
+    assert out[1]["n_lines"] == 3
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[1]["dup_line_char_frac"] == 0.0
+    assert out[2]["n_lines"] == 1
+    assert (out[3]["n_lines"], out[3]["dup_line_frac"]) == (0, 0.0)
+
+
+def test_repetition_stats_bigrams(spark, rep_df):
+    out = {r["doc_id"]: r for r in with_repetition_stats(rep_df).collect()}
+    assert out[4]["top_bigram"] == "go go"
+    assert out[4]["top2gram_char_frac"] == round(3 * 5 / 11, 4)
+    assert out[5]["top_bigram"] == "a b"
+    assert out[5]["top2gram_char_frac"] == round(2 * 3 / 9, 4)
+    # single-word / empty docs: NULL bigram, 0.0 fraction
+    assert out[3]["top_bigram"] is None
+    assert out[3]["top2gram_char_frac"] == 0.0
+
+
+def test_repetition_filter_drops_spammy(spark, rep_df):
+    kept = sorted(
+        r["doc_id"]
+        for r in gopher_repetition_filter(
+            rep_df, max_dup_line_frac=0.3,
+            max_dup_line_char_frac=0.2, max_top2gram_char_frac=0.5,
+        ).collect()
+    )
+    # 0 fails dup_line_char_frac (0.2727 > 0.2); 4 and 5 fail the top-2gram
+    # bound (1.3636 / 0.6667 > 0.5); 2 fails it too — a short all-distinct
+    # doc's single most-common bigram still covers 14/22 chars (0.6364),
+    # exactly why Gopher pairs this rule with a minimum-length filter
+    assert kept == [1, 3]
+    # output schema is the input schema (stats are internal to the filter)
+    assert gopher_repetition_filter(rep_df).columns == rep_df.columns
+
+
+def test_repetition_stats_plan_is_narrow(spark, rep_df):
+    plan = _plan(with_repetition_stats(rep_df))
+    assert "Exchange" not in plan, plan
+
+
+def test_repetition_stats_rejects_helper_collision(spark, rep_df):
+    with pytest.raises(ValueError, match="_lines"):
+        with_repetition_stats(rep_df.withColumnRenamed("text", "_lines"),
+                              text_col="_lines")
+
+
+@pytest.fixture(scope="module")
+def line_corpus(spark):
+    rows = [
+        (0, "SUBSCRIBE NOW\nalpha unique zero\ncopyright 2026"),
+        (1, "SUBSCRIBE NOW\nbeta unique one\ncopyright 2026"),
+        (2, "gamma unique two\n  copyright 2026  \nanother gamma line"),
+        (3, "delta all original\nnothing shared here"),
+        (4, "SUBSCRIBE NOW"),  # all-boilerplate doc
+        (5, "\n\n"),  # no non-blank lines: absent from output
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_lines(spark, line_corpus):
+    got = {r["line"]: r["n_docs"] for r in boilerplate_lines(line_corpus).collect()}
+    # trim-normalized: doc 2's padded copyright counts toward the same value
+    assert got == {"SUBSCRIBE NOW": 3, "copyright 2026": 3}
+
+
+def test_boilerplate_min_docs_threshold(spark, line_corpus):
+    got = {r["line"] for r in
+           boilerplate_lines(line_corpus, min_docs=4).collect()}
+    assert got == set()
+
+
+def test_dedup_lines_removes_and_reassembles(spark, line_corpus):
+    out = {r["doc_id"]: r for r in dedup_lines(line_corpus).collect()}
+    assert out[0]["redacted"] == "alpha unique zero"
+    assert (out[0]["n_lines_kept"], out[0]["n_lines_dropped"]) == (1, 2)
+    assert out[1]["redacted"] == "beta unique one"
+    # order of surviving lines is preserved
+    assert out[2]["redacted"] == "gamma unique two\nanother gamma line"
+    assert out[3]["redacted"] == "delta all original\nnothing shared here"
+    assert out[3]["n_lines_dropped"] == 0
+    # all-boilerplate doc survives, empty
+    assert out[4]["redacted"] == ""
+    assert (out[4]["n_lines_kept"], out[4]["n_lines_dropped"]) == (0, 1)
+    # line-less doc contributes no row
+    assert 5 not in out
+
+
+def test_dedup_lines_idempotent(spark, line_corpus):
+    once = dedup_lines(line_corpus).withColumnRenamed("redacted", "text")
+    twice = {r["doc_id"]: r for r in
+             dedup_lines(once.select("doc_id", "text")).collect()}
+    # nothing left to remove: second pass keeps every surviving line
+    for r in twice.values():
+        assert r["n_lines_dropped"] == 0
+
+
+def test_dedup_lines_rejects_helper_collision(spark, line_corpus):
+    with pytest.raises(ValueError, match="line"):
+        dedup_lines(line_corpus.withColumn("line", line_corpus.text))
+
+
+def test_dedup_lines_plan_broadcasts_boilerplate(spark, line_corpus):
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(dedup_lines(line_corpus))
+        # the keep/drop flag join against the boilerplate set must be
+        # broadcast — the corpus side is never shuffled to meet it — and
+        # there is NO doc-keyed join anywhere (kept/dropped/reassembly come
+        # from one aggregation)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
