@@ -1138,3 +1138,65 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(spark.sql(LINE_DOCS)).select(
         "doc_id", "redacted", "n_lines_kept", "n_lines_dropped"
     )
+
+
+# Deterministic duplicate-window injection: every 7th doc gets the same
+# 9-word tail, so those docs share exact 6-token windows; everything else
+# is flagged only if the raw corpus happens to repeat a window (identical
+# arithmetic in both engines either way).
+WINDOW_DOCS = """
+SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0
+    THEN text || ' the quick brown fox jumps over the lazy dog'
+    ELSE text END AS text
+FROM documents
+""".strip()
+
+_D_WWS = "list_filter(string_split(lower(text), ' '), t -> t != '')"
+_D_WINS = ("CASE WHEN len(ws) >= 6 THEN list_transform("
+           "generate_series(1, len(ws) - 5), "
+           "i -> array_to_string(list_slice(ws, i, i + 5), ' ')) "
+           "ELSE [] END")
+
+
+@register(
+    "docs_dup_window_stats",
+    f"""
+WITH p AS ({WINDOW_DOCS}),
+t AS (SELECT doc_id, {_D_WWS} AS ws FROM p),
+wn AS (SELECT doc_id, len(ws) AS n_tok, {_D_WINS} AS wins FROM t),
+ex AS (SELECT doc_id, n_tok, unnest(generate_series(1, len(wins))) AS pos,
+       unnest(wins) AS win FROM wn),
+dv AS (SELECT win FROM (SELECT win, count(*) AS c FROM ex GROUP BY win)
+       WHERE c >= 2),
+fl AS (SELECT doc_id, n_tok, pos,
+       win IN (SELECT win FROM dv) AS dup FROM ex),
+agg AS (SELECT doc_id, n_tok,
+  CAST(count(*) AS INT) AS n_windows,
+  CAST(count(*) FILTER (WHERE dup) AS INT) AS n_dup_windows,
+  len(list_distinct(flatten(coalesce(
+    list(generate_series(pos, pos + 5)) FILTER (WHERE dup), [])))) AS cov
+  FROM fl GROUP BY doc_id, n_tok)
+SELECT doc_id, n_windows, n_dup_windows,
+  CAST(round(CAST(cov AS DOUBLE) / greatest(n_tok, 1), 4) AS DOUBLE)
+    AS dup_token_frac
+FROM agg
+UNION ALL
+SELECT doc_id, 0 AS n_windows, 0 AS n_dup_windows,
+  CAST(0.0 AS DOUBLE) AS dup_token_frac
+FROM wn WHERE len(wins) = 0""",
+    # pytest-carried (tests/test_registry_oracles.py): driver registry is at
+    # its 50-entry cap.
+    driver=False,
+)
+def q_dup_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-window (Lee-et-al-style substring dedup) stats at
+    w=6 over the tail-injected corpus: every 7th document shares a planted
+    9-word tail, so its windows duplicate cross-document; per-doc coverage
+    fractions are value-compared against the DuckDB replay."""
+    from .operators.sanitize import duplicate_window_stats
+
+    register_documents(spark, sf_dir)
+    return duplicate_window_stats(spark.sql(WINDOW_DOCS), w=6).select(
+        "doc_id", "n_windows", "n_dup_windows", "dup_token_frac"
+    )

@@ -209,6 +209,95 @@ def dedup_lines(
     )
 
 
+def duplicate_window_stats(
+    df: DataFrame,
+    w: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-window detection — the rolling-window, Spark-native
+    formulation of exact-substring training-data dedup (Lee et al. 2022 use
+    suffix arrays at w=50 BPE tokens; here the unit is a ``w``-token
+    lowercased whitespace window). A window VALUE is duplicated when its
+    total occurrence count across the corpus (within- plus cross-document)
+    reaches ``min_count``. Emits per document:
+
+    - ``n_windows``: total windows (``max(0, n_tokens - w + 1)``),
+    - ``n_dup_windows``: window POSITIONS whose value is duplicated,
+    - ``dup_token_frac``: fraction of the document's tokens covered by at
+      least one duplicated window (union of ``[pos, pos+w)`` ranges,
+      4-dp-rounded double).
+
+    Documents with fewer than ``w`` tokens have no windows and report
+    ``(0, 0, 0.0)``.
+
+    Plan shape and the honest 100 TB cost: every window flows through ONE
+    aggregation keyed by window value (map-side partial counts) — exact
+    substring dedup is inherently a full-corpus shuffle, the price Lee et
+    al. pay as a distributed suffix-array sort; the duplicated-value table
+    that comes back is dup-volume-sized and joins the window stream on the
+    value key. Coverage merging is array-local per document (flatten →
+    distinct of covered positions), never a second corpus shuffle.
+    """
+    for helper in ("_pos", "_win", "_dup"):
+        if helper in df.columns:
+            raise ValueError(
+                f"duplicate_window_stats: input already has a {helper!r} column"
+            )
+    ws = f"filter(split(lower({text_col}), ' '), t -> t != '')"
+    wins = (
+        f"CASE WHEN size({ws}) >= {w} THEN "
+        f"transform(sequence(1, size({ws}) - {w} + 1), "
+        f"i -> concat_ws(' ', slice({ws}, i, {w}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"size({ws})").cast("int").alias("_n_tok"),
+        F.expr(wins).alias("_wins"),
+    )
+    exploded = base.select(
+        id_col, "_n_tok", F.posexplode("_wins").alias("_pos", "_win")
+    )
+    dup_values = (
+        exploded.groupBy("_win")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("_win", F.lit(True).alias("_dup"))
+    )
+    flagged = exploded.join(dup_values, "_win", "left").select(
+        id_col, "_n_tok", "_pos",
+        F.coalesce("_dup", F.lit(False)).alias("_dup"),
+    )
+    per_doc = flagged.groupBy(id_col, "_n_tok").agg(
+        F.count("*").cast("int").alias("n_windows"),
+        F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+        .cast("int").alias("n_dup_windows"),
+        F.expr(
+            f"size(array_distinct(flatten(transform("
+            f"filter(collect_list(struct(_pos, _dup)), s -> s._dup), "
+            f"s -> sequence(s._pos, s._pos + {w} - 1)))))"
+        ).alias("_covered"),
+    )
+    stats = per_doc.select(
+        id_col, "n_windows", "n_dup_windows",
+        F.round(F.col("_covered") / F.greatest("_n_tok", F.lit(1)), 4)
+        .cast("double").alias("dup_token_frac"),
+    )
+    # window-less docs (< w tokens) re-enter with zero stats so the output
+    # covers every input document — a left join against a tiny aggregate
+    # would shuffle the corpus again; deriving the zeros from the original
+    # frame keeps it one narrow union leg
+    short = base.filter(F.expr("size(_wins) = 0")).select(
+        id_col,
+        F.lit(0).cast("int").alias("n_windows"),
+        F.lit(0).cast("int").alias("n_dup_windows"),
+        F.lit(0.0).alias("dup_token_frac"),
+    )
+    return stats.unionByName(short)
+
+
 def keep_clean(
     train_df: DataFrame,
     eval_df: DataFrame,

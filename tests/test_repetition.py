@@ -164,3 +164,75 @@ def test_dedup_lines_plan_broadcasts_boilerplate(spark, line_corpus):
         assert "ShuffledHashJoin" not in plan, plan
     finally:
         conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+# --------------------------------------------------------------------------
+# exact duplicate-window detection (Lee-et-al-style substring dedup)
+# --------------------------------------------------------------------------
+
+from extract_address_ner_spark.operators.sanitize import (  # noqa: E402
+    duplicate_window_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def win_corpus(spark):
+    # w=3 windows. Docs 0 and 1 share the run "a b c d" → shared windows
+    # "a b c" and "b c d"; doc 2 repeats "x y z" WITHIN itself; doc 3 is
+    # clean; doc 4 is too short for any window.
+    rows = [
+        (0, "a b c d e f g"),
+        (1, "s t a b c d"),
+        (2, "x y z x y z"),
+        (3, "m n o p q r s"),
+        (4, "u v"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_windows_counts(spark, win_corpus):
+    out = {r["doc_id"]: r for r in
+           duplicate_window_stats(win_corpus, w=3).collect()}
+    # doc 0: 5 windows, hits at pos 0 ("a b c") and 1 ("b c d") → tokens
+    # 0..3 covered of 7
+    assert (out[0]["n_windows"], out[0]["n_dup_windows"]) == (5, 2)
+    assert out[0]["dup_token_frac"] == round(4 / 7, 4)
+    # doc 1: 4 windows, hits at pos 2 and 3 → tokens 2..5 of 6
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"]) == (4, 2)
+    assert out[1]["dup_token_frac"] == round(4 / 6, 4)
+    # doc 2: "x y z" occurs at pos 0 AND 3 (within-doc repeat counts) →
+    # both positions dup → tokens 0..2 and 3..5: full coverage
+    assert out[2]["n_dup_windows"] == 2
+    assert out[2]["dup_token_frac"] == 1.0
+    # doc 3: clean
+    assert (out[3]["n_dup_windows"], out[3]["dup_token_frac"]) == (0, 0.0)
+    # doc 4: too short — zero row, present in output
+    assert (out[4]["n_windows"], out[4]["n_dup_windows"],
+            out[4]["dup_token_frac"]) == (0, 0, 0.0)
+
+
+def test_duplicate_windows_min_count(spark, win_corpus):
+    out = {r["doc_id"]: r["n_dup_windows"] for r in
+           duplicate_window_stats(win_corpus, w=3, min_count=3).collect()}
+    # no window value occurs 3+ times → nothing flagged
+    assert set(out.values()) == {0}
+
+
+def test_duplicate_windows_rejects_helper_collision(spark, win_corpus):
+    with pytest.raises(ValueError, match="_win"):
+        duplicate_window_stats(win_corpus.withColumn("_win", win_corpus.text))
+
+
+def test_duplicate_windows_single_value_shuffle(spark, win_corpus):
+    """The window-value aggregation must partial-aggregate map-side (the
+    100 TB shuffle is combiner-reduced) and the dup-value join back must
+    not be a broadcast OF THE CORPUS side."""
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = duplicate_window_stats(win_corpus, w=3) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "partial_count" in plan, plan
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
