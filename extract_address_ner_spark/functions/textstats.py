@@ -132,7 +132,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     the cost of a shuffle — this local form keeps the 100 TB plan scan-bound.
     Fractions are 4-dp-rounded doubles so both engines hash identically.
     """
-    for helper in ("_lines", "_bg"):
+    for helper in ("_lines", "_bg", "_toks"):
         if helper in df.columns:
             raise ValueError(
                 f"with_repetition_stats: input already has a {helper!r} column"
@@ -141,13 +141,24 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), "
         f"l -> l != '')"
     )
+    # Materialize the token array as a COLUMN ATTRIBUTE before the bigram
+    # transform: if the tokenization subtree were spliced textually into the
+    # lambda body, it would re-evaluate PER ELEMENT — O(tokens²) per doc,
+    # and catastrophic when text_col is itself an expensive expression
+    # (lazy synthesized corpus + regexp chain: observed >400 s/task on a
+    # 1000-row partition). As a multiply-referenced non-cheap projection it
+    # survives CollapseProject and is computed exactly once per row.
     ws = f"filter(split(lower({text_col}), ' '), t -> t != '')"
     bg_expr = (
-        f"CASE WHEN size({ws}) >= 2 THEN "
-        f"transform(sequence(1, size({ws}) - 1), i -> concat_ws(' ', slice({ws}, i, 2))) "
-        f"ELSE CAST(array() AS array<string>) END"
+        "CASE WHEN size(_toks) >= 2 THEN "
+        "transform(sequence(1, size(_toks) - 1), i -> concat_ws(' ', slice(_toks, i, 2))) "
+        "ELSE CAST(array() AS array<string>) END"
     )
-    df = df.withColumn("_lines", F.expr(lines_expr)).withColumn("_bg", F.expr(bg_expr))
+    df = (
+        df.withColumn("_toks", F.expr(ws))
+        .withColumn("_lines", F.expr(lines_expr))
+        .withColumn("_bg", F.expr(bg_expr))
+    )
     tot_line_chars = F.expr(
         "aggregate(_lines, CAST(0 AS BIGINT), (a, l) -> a + length(l))"
     )
@@ -190,7 +201,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 ).otherwise(F.lit(0.0)), 4).cast("double"),
         )
     )
-    return out.drop("_lines", "_bg")
+    return out.drop("_lines", "_bg", "_toks")
 
 
 def gopher_repetition_filter(
@@ -203,10 +214,34 @@ def gopher_repetition_filter(
     """Keep documents passing the Gopher repetition thresholds (the paper's
     rule shape; defaults are its published dup-line/char bounds and the
     n=2 top-n-gram bound). A pure filter over :func:`with_repetition_stats` —
-    still a narrow, scan-bound plan."""
+    still a narrow, scan-bound plan.
+
+    The ``_pushdown_fence`` column is load-bearing: without it,
+    PushPredicateThroughNonJoin substitutes the three stat ALIASES back
+    into the filter condition — and unlike CollapseProject, predicate
+    pushdown has NO expression-cost check, so the aggregate/HOF trees
+    (each referencing ``_toks``/``_lines``/``_bg``, themselves lambda
+    bodies) are re-inlined per reference, MULTIPLICATIVELY: each pushdown
+    level substitutes the lower project's aliases into lambda bodies where
+    they re-evaluate per array element, so the nested tokenize/bigram/
+    distinct-scan trees compound to ~m²·d work per doc — 2000×46-token
+    docs never finished (>100 s, killed) vs 1.8 s fenced.
+
+    The fence must satisfy TWO conditions (both verified the hard way):
+    (a) it is non-deterministic — Catalyst only pushes predicates through
+    fully-deterministic Projects (``fields.forall(_.deterministic)``), and
+    (b) it is REFERENCED BY THE FILTER CONDITION itself (an always-true
+    conjunct ``_pushdown_fence >= -1``; rand ∈ [0,1)) — an unreferenced
+    fence column is deleted by ColumnPruning *before* the pushdown rule
+    looks at the Project, which silently re-enables the substitution. The
+    fence is dropped before returning, so results are unchanged (pinned by
+    tests/test_repetition.py, incl. a plan pin that the executed Filter
+    reads stat ATTRIBUTES, not re-inlined trees)."""
     stats = with_repetition_stats(df, text_col=text_col)
-    kept = stats.filter(
-        (F.col("dup_line_frac") <= max_dup_line_frac)
+    fenced = stats.withColumn("_pushdown_fence", F.rand(seed=0))
+    kept = fenced.filter(
+        (F.col("_pushdown_fence") >= F.lit(-1.0))
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
         & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
         & (F.col("top2gram_char_frac") <= max_top2gram_char_frac)
     )

@@ -43,6 +43,12 @@ edge stage.
 N deterministic hash shards (one file each, per-shard doc/BPE-token
 manifest) with a printed round-trip completeness check.
 
+``--hygiene`` runs the training-data HYGIENE stage over the corpus: PII
+redaction with a zero-residual gate (the job fails if any pattern still
+matches the redacted text), the Gopher repetition filter, and
+boilerplate-line / duplicate-window reports; the cleaned corpus lands
+under ``<warehouse>/hygiene/corpus_clean``.
+
 ``--integrity-gate`` runs the eight-invariant integrity report
 (operators/graph_query.integrity_report) over the built edge/node stages
 and fails the job with a nonzero exit on ANY violation — the publish gate
@@ -124,6 +130,14 @@ def main() -> int:
              "keep-2 retention), print per-merge touched-bucket / bytes "
              "stats, and verify the final snapshot equals the batch edge "
              "stage exactly")
+    ap.add_argument(
+        "--hygiene", action="store_true",
+        help="run the training-data hygiene stage over the corpus: PII "
+             "redaction (emails/IPs/phones), Gopher repetition filter, "
+             "cross-document boilerplate-line and duplicate-window "
+             "reports; writes the cleaned corpus under "
+             "<warehouse>/hygiene/corpus_clean and FAILS the job if any "
+             "PII pattern survives redaction")
     ap.add_argument(
         "--integrity-gate", action="store_true",
         help="run the eight-invariant KG integrity report (dangling "
@@ -410,6 +424,52 @@ def main() -> int:
               f"keeper_set_equals_one_shot="
               f"{'true' if ddiff == 0 else 'false'}")
         if ddiff != 0:
+            ok = False
+    if args.hygiene:
+        from pyspark.sql import functions as F
+
+        from extract_address_ner_spark.functions.textstats import (
+            gopher_repetition_filter,
+        )
+        from extract_address_ner_spark.operators.sanitize import (
+            PII_STEPS,
+            boilerplate_lines,
+            duplicate_window_stats,
+            pii_redact,
+        )
+
+        docs = out["corpus"].selectExpr("doc_id", "content AS text")
+        n_docs = docs.count()
+        red = pii_redact(docs)
+        pii = red.agg(
+            *[F.sum(c).alias(c) for c, _p, _t in PII_STEPS]
+        ).collect()[0]
+        # the redaction gate: re-scan the REDACTED text with every pattern —
+        # zero residual matches or the job fails
+        residual = red.agg(F.sum(sum(
+            F.size(F.regexp_extract_all("redacted", F.lit(p), F.lit(0)))
+            for _c, p, _t in PII_STEPS
+        ))).collect()[0][0]
+        cleaned = red.select("doc_id", F.col("redacted").alias("text"))
+        kept = gopher_repetition_filter(cleaned)
+        hy_dir = str(Path(args.warehouse) / "hygiene" / "corpus_clean")
+        shutil.rmtree(hy_dir, ignore_errors=True)
+        kept.write.parquet(hy_dir)
+        n_kept = spark.read.parquet(hy_dir).count()
+        n_boiler = boilerplate_lines(cleaned, min_docs=2).count()
+        wstats = duplicate_window_stats(cleaned, w=15).agg(
+            F.sum("n_windows").alias("nw"), F.sum("n_dup_windows").alias("nd")
+        ).collect()[0]
+        dup_frac = (wstats["nd"] / wstats["nw"]) if wstats["nw"] else 0.0
+        print(f"hygiene: pii_redacted emails={pii['n_emails']} "
+              f"ips={pii['n_ips']} phones={pii['n_phones']} "
+              f"residual_matches={residual}")
+        print(f"hygiene: repetition_filter kept {n_kept}/{n_docs} docs; "
+              f"boilerplate_lines={n_boiler}; "
+              f"dup_window_frac={dup_frac:.4f} (w=15)")
+        print(f"hygiene: clean corpus at {hy_dir} "
+              f"pii_gate={'CLEAN' if residual == 0 else 'VIOLATED'}")
+        if residual != 0:
             ok = False
     if args.integrity_gate:
         from extract_address_ner_spark.operators.graph_query import (

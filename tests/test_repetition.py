@@ -88,6 +88,26 @@ def test_repetition_stats_plan_is_narrow(spark, rep_df):
     assert "Exchange" not in plan, plan
 
 
+def test_repetition_filter_reads_attributes_not_inlined_trees(spark, rep_df):
+    """The pushdown fence must keep the Filter reading the three stat
+    columns as ATTRIBUTES. Without it (non-deterministic fence column
+    UNREFERENCED by the condition → deleted by ColumnPruning →
+    PushPredicateThroughNonJoin re-inlines the stat alias trees into the
+    condition, where nested lambda references re-evaluate tokenization per
+    array element) a 2000×46-token corpus never finished (>100 s, killed;
+    8.8 s fenced). The executed Filter condition must contain NO split(
+    call — tokenization belongs to the stats Project below it."""
+    kept = gopher_repetition_filter(rep_df)
+    plan = _plan(kept)
+    filter_lines = [ln for ln in plan.splitlines() if "Filter " in ln]
+    assert filter_lines, plan
+    for ln in filter_lines:
+        assert "split(" not in ln, ln
+        assert "dup_line_frac" in ln, ln
+    # and the fence itself never leaks into the output schema
+    assert "_pushdown_fence" not in kept.columns
+
+
 def test_repetition_stats_rejects_helper_collision(spark, rep_df):
     with pytest.raises(ValueError, match="_lines"):
         with_repetition_stats(rep_df.withColumnRenamed("text", "_lines"),
