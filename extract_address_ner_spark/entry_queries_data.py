@@ -1060,9 +1060,11 @@ _D_BG = ("CASE WHEN len(ws) >= 2 THEN list_transform("
          "ELSE [] END")
 
 
-@register(
-    "docs_repetition_stats",
-    f"""
+# Shared CTE chain ending in a `stats` relation (doc_id, text, five stat
+# columns) — the stats query SELECTs the signals from it; the filter query
+# applies the Gopher thresholds to the SAME rounded values the Spark side
+# filters on.
+_REP_STATS_CTE = f"""
 WITH p AS ({LINE_DOCS}),
 base AS (SELECT doc_id, text, {_D_LINES} AS ls, {_D_WS2} AS ws FROM p),
 b2 AS (SELECT doc_id, text, ls, {_D_BG} AS bg FROM base),
@@ -1071,8 +1073,8 @@ b3 AS (SELECT doc_id, text, ls, bg,
     b -> len(list_filter(bg, x -> x = b)))) END AS maxc FROM b2),
 b4 AS (SELECT doc_id, text, ls, bg, maxc,
   CASE WHEN len(bg) > 0 THEN list_min(list_filter(list_distinct(bg),
-    b -> len(list_filter(bg, x -> x = b)) = maxc)) END AS top FROM b3)
-SELECT doc_id,
+    b -> len(list_filter(bg, x -> x = b)) = maxc)) END AS top FROM b3),
+stats AS (SELECT doc_id, text,
   CAST(len(ls) AS INT) AS n_lines,
   CAST(round(CASE WHEN len(ls) > 0
     THEN 1 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
@@ -1087,7 +1089,16 @@ SELECT doc_id,
   CAST(round(CASE WHEN len(bg) > 0
     THEN CAST(maxc * strlen(top) AS DOUBLE) / greatest(strlen(text), 1)
     ELSE 0 END, 4) AS DOUBLE) AS top2gram_char_frac
-FROM b4""",
+FROM b4)""".strip()
+
+
+@register(
+    "docs_repetition_stats",
+    f"""
+{_REP_STATS_CTE}
+SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac, top_bigram,
+  top2gram_char_frac
+FROM stats""",
     # pytest-carried (tests/test_registry_oracles.py): driver registry is at
     # its 50-entry cap.
     driver=False,
@@ -1103,6 +1114,30 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
         "top_bigram", "top2gram_char_frac",
     )
+
+
+@register(
+    "docs_gopher_filter",
+    f"""
+{_REP_STATS_CTE}
+SELECT doc_id, text
+FROM stats
+WHERE dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+  AND top2gram_char_frac <= 0.20""",
+    # pytest-carried (tests/test_registry_oracles.py): driver registry is at
+    # its 50-entry cap.
+    driver=False,
+)
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition FILTER end-to-end over the line-injected corpus
+    (kept docs compared bit-for-bit): pins that the threshold rule and the
+    pushdown fence are value-neutral — the fence exists purely to stop
+    predicate pushdown from re-inlining the stat trees (PLANS.md
+    optimizer-traps; plan pinned in tests/test_repetition.py)."""
+    from .functions.textstats import gopher_repetition_filter
+
+    register_documents(spark, sf_dir)
+    return gopher_repetition_filter(spark.sql(LINE_DOCS))
 
 
 @register(
