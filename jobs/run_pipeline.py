@@ -45,7 +45,10 @@ manifest) with a printed round-trip completeness check.
 
 ``--hygiene`` runs the training-data HYGIENE stage over the corpus: PII
 redaction with a zero-residual gate (the job fails if any pattern still
-matches the redacted text), the Gopher repetition filter, and
+matches the redacted text), eval-set 5-gram decontamination against the
+held-out ``doc_id % 17 = 5`` split (on a templated code corpus this
+honestly drops a large fraction — shared boilerplate n-grams ARE
+contamination by the GPT-3/Pile rule), the Gopher repetition filter, and
 boilerplate-line / duplicate-window reports; the cleaned corpus lands
 under ``<warehouse>/hygiene/corpus_clean``.
 
@@ -133,9 +136,10 @@ def main() -> int:
     ap.add_argument(
         "--hygiene", action="store_true",
         help="run the training-data hygiene stage over the corpus: PII "
-             "redaction (emails/IPs/phones), Gopher repetition filter, "
-             "cross-document boilerplate-line and duplicate-window "
-             "reports; writes the cleaned corpus under "
+             "redaction (emails/IPs/phones), eval-set 5-gram "
+             "decontamination (held-out split doc_id %% 17 = 5), Gopher "
+             "repetition filter, cross-document boilerplate-line and "
+             "duplicate-window reports; writes the cleaned corpus under "
              "<warehouse>/hygiene/corpus_clean and FAILS the job if any "
              "PII pattern survives redaction")
     ap.add_argument(
@@ -434,6 +438,7 @@ def main() -> int:
         from extract_address_ner_spark.operators.sanitize import (
             PII_STEPS,
             boilerplate_lines,
+            decontaminate,
             duplicate_window_stats,
             pii_redact,
         )
@@ -451,11 +456,20 @@ def main() -> int:
             for _c, p, _t in PII_STEPS
         ))).collect()[0][0]
         cleaned = red.select("doc_id", F.col("redacted").alias("text"))
-        kept = gopher_repetition_filter(cleaned)
+        # eval-set decontamination: the held-out split is doc_id % 17 = 5
+        # (the registry's eval-split convention); any training doc sharing
+        # a 5-gram with it is dropped before the repetition filter
+        ev = cleaned.filter(F.col("doc_id") % 17 == 5)
+        train = cleaned.filter(F.col("doc_id") % 17 != 5)
+        hits = decontaminate(train, ev)
+        n_contam = hits.count()
+        decon = train.join(hits.select("doc_id"), "doc_id", "left_anti")
+        kept = gopher_repetition_filter(decon)
         hy_dir = str(Path(args.warehouse) / "hygiene" / "corpus_clean")
         shutil.rmtree(hy_dir, ignore_errors=True)
         kept.write.parquet(hy_dir)
         n_kept = spark.read.parquet(hy_dir).count()
+        n_train = train.count()
         n_boiler = boilerplate_lines(cleaned, min_docs=2).count()
         wstats = duplicate_window_stats(cleaned, w=15).agg(
             F.sum("n_windows").alias("nw"), F.sum("n_dup_windows").alias("nd")
@@ -464,8 +478,10 @@ def main() -> int:
         print(f"hygiene: pii_redacted emails={pii['n_emails']} "
               f"ips={pii['n_ips']} phones={pii['n_phones']} "
               f"residual_matches={residual}")
-        print(f"hygiene: repetition_filter kept {n_kept}/{n_docs} docs; "
-              f"boilerplate_lines={n_boiler}; "
+        print(f"hygiene: decontaminate eval_docs={n_docs - n_train} "
+              f"train_docs={n_train} contaminated={n_contam}")
+        print(f"hygiene: repetition_filter kept {n_kept}/{n_train} "
+              f"train docs; boilerplate_lines={n_boiler}; "
               f"dup_window_frac={dup_frac:.4f} (w=15)")
         print(f"hygiene: clean corpus at {hy_dir} "
               f"pii_gate={'CLEAN' if residual == 0 else 'VIOLATED'}")

@@ -154,12 +154,14 @@ def test_job_entry_integrity_gate(tmp_path):
 
 def test_job_entry_hygiene(tmp_path):
     """Late round-5: the shipped job runs the training-data hygiene stage —
-    PII redaction with a zero-residual gate, the Gopher repetition filter,
-    boilerplate-line and duplicate-window reports — and writes the cleaned
-    corpus under the warehouse."""
+    PII redaction with a zero-residual gate, eval-set 5-gram
+    decontamination of the held-out doc_id % 17 = 5 split, the Gopher
+    repetition filter, boilerplate-line and duplicate-window reports — and
+    writes the cleaned corpus under the warehouse."""
     stdout = _run_job(tmp_path, ["--master", "local[2]", "--hygiene"])
     assert "hygiene: pii_redacted" in stdout
     assert "residual_matches=0" in stdout
     assert "pii_gate=CLEAN" in stdout
+    assert "hygiene: decontaminate eval_docs=" in stdout
     assert "hygiene: repetition_filter kept" in stdout
     assert (tmp_path / "wh" / "hygiene" / "corpus_clean").exists()
