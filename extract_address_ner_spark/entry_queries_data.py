@@ -1235,3 +1235,49 @@ def q_dup_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_window_stats(spark.sql(WINDOW_DOCS), w=6).select(
         "doc_id", "n_windows", "n_dup_windows", "dup_token_frac"
     )
+
+
+@register(
+    "docs_dup_window_removal",
+    f"""
+WITH p AS ({WINDOW_DOCS}),
+t AS (SELECT doc_id,
+  list_filter(string_split(text, ' '), x -> x != '') AS toks FROM p),
+t2 AS (SELECT doc_id, toks,
+  list_transform(toks, x -> lower(x)) AS lw FROM t),
+wn AS (SELECT doc_id, toks,
+  CASE WHEN len(lw) >= 6 THEN list_transform(
+    generate_series(1, len(lw) - 5),
+    i -> array_to_string(list_slice(lw, i, i + 5), ' '))
+  ELSE [] END AS wins FROM t2),
+ex AS (SELECT doc_id, unnest(generate_series(1, len(wins))) AS st,
+       unnest(wins) AS win FROM wn),
+rk AS (SELECT doc_id, st, win,
+       row_number() OVER (PARTITION BY win ORDER BY doc_id, st) AS rn,
+       count(*) OVER (PARTITION BY win) AS c FROM ex),
+rmv AS (SELECT doc_id, st FROM rk WHERE c >= 2 AND rn > 1),
+cov AS (SELECT doc_id,
+  list_distinct(flatten(list(generate_series(st, st + 5)))) AS cv
+  FROM rmv GROUP BY doc_id)
+SELECT w.doc_id,
+  coalesce(array_to_string(list_filter(w.toks,
+    (x, i) -> NOT list_contains(coalesce(c.cv, []), i)), ' '), '')
+    AS text_deduped,
+  CAST(len(w.toks) AS INT) AS n_tokens,
+  CAST(len(coalesce(c.cv, [])) AS INT) AS n_tokens_removed
+FROM wn w LEFT JOIN cov c USING (doc_id)""",
+    # pytest-carried (tests/test_registry_oracles.py): driver registry is at
+    # its 50-entry cap.
+    driver=False,
+)
+def q_dup_window_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-window REMOVAL at w=6 over the tail-injected corpus:
+    the canonical (globally first) occurrence of each duplicated window
+    survives, every other occurrence's token range is cut, and the rebuilt
+    original-case text is value-compared bit-for-bit against the DuckDB
+    replay (which uses the naive covered-position-set rebuild — pinning the
+    O(m) single-pass fold's equivalence to the spec)."""
+    from .operators.sanitize import remove_duplicate_windows
+
+    register_documents(spark, sf_dir)
+    return remove_duplicate_windows(spark.sql(WINDOW_DOCS), w=6)

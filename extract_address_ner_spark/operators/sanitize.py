@@ -329,6 +329,110 @@ def duplicate_window_stats(
     return stats.unionByName(short)
 
 
+def remove_duplicate_windows(
+    df: DataFrame,
+    w: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-window REMOVAL — the text-rewrite half of Lee et al.
+    2022 substring dedup (:func:`duplicate_window_stats` is the reporting
+    half). A window value (lowercased ``w``-token whitespace window) is
+    duplicated when its corpus-wide occurrence count reaches ``min_count``;
+    the CANONICAL occurrence — globally smallest ``(doc_id, start)`` — is
+    kept and every other occurrence's token range ``[start, start+w)`` is
+    removed. Rebuilt text keeps the surviving ORIGINAL-case tokens joined
+    by single spaces (output is whitespace-normalized; values are matched
+    case-insensitively, removal never lowercases what it keeps).
+
+    Emits ``(id_col, text_deduped, n_tokens, n_tokens_removed)`` for EVERY
+    input document (unaffected docs pass through with 0 removed).
+
+    Plan shape / 100 TB cost: the same single window-value-keyed corpus
+    shuffle as the stats operator (map-side partial counts + min-struct
+    canonical — exact substring dedup's irreducible price), a
+    dup-volume-sized inner join back to flag non-canonical occurrences,
+    ONE dup-volume groupBy collecting each doc's sorted removal starts,
+    and a removal-volume-bounded LEFT join onto the corpus. The rebuild is
+    an O(m) single forward fold per document: window starts are DISTINCT
+    sorted integers, so at each token position at most one new interval
+    opens — the fold carries (next-start index, max covered end, kept
+    tokens) and never rescans (an exists()-per-token formulation is
+    O(m·removals), catastrophic on heavily duplicated long docs).
+    """
+    helpers = ("_toks", "_wins", "_p", "_start", "_win", "_cnt", "_canon",
+               "_rm", "_acc")
+    for helper in helpers:
+        if helper in df.columns:
+            raise ValueError(
+                f"remove_duplicate_windows: input already has a "
+                f"{helper!r} column"
+            )
+    # original-case tokens as a COLUMN ATTRIBUTE (see duplicate_window_stats:
+    # splicing the tokenize subtree into lambdas re-evaluates it per element)
+    toks = f"filter(split({text_col}, ' '), t -> t != '')"
+    wins = (
+        f"CASE WHEN size(_toks) >= {w} THEN "
+        f"transform(sequence(1, size(_toks) - {w} + 1), "
+        f"i -> concat_ws(' ', transform(slice(_toks, i, {w}), "
+        f"t -> lower(t)))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    base = df.select(F.col(id_col), F.expr(toks).alias("_toks"))
+    b2 = base.select(id_col, "_toks", F.expr(wins).alias("_wins"))
+    occ = b2.select(
+        id_col, F.posexplode("_wins").alias("_p", "_win")
+    ).select(id_col, (F.col("_p") + 1).alias("_start"), "_win")
+    dup_vals = (
+        occ.groupBy("_win")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min(F.struct(F.col(id_col).alias("i"),
+                           F.col("_start").alias("s"))).alias("_canon"),
+        )
+        .filter(F.col("_cnt") >= min_count)
+        .select("_win", "_canon")
+    )
+    rm = (
+        occ.join(dup_vals, "_win")
+        .filter(~((F.col(id_col) == F.col("_canon.i"))
+                  & (F.col("_start") == F.col("_canon.s"))))
+        .groupBy(id_col)
+        .agg(F.expr("array_sort(collect_list(_start))").alias("_rm"))
+    )
+    joined = base.join(rm, id_col, "left")
+    # O(m) fold: starts are distinct+sorted, so position i opens at most one
+    # new interval — `try_element_at(_rm, acc.j+1) = i` consumes it (ANSI
+    # mode: element_at would throw past the end). State: (j = consumed
+    # starts, e = max covered end, out = kept tokens).
+    walk = (
+        f"aggregate(sequence(1, size(_toks)), "
+        f"struct(CAST(0 AS INT) AS j, CAST(0 AS INT) AS e, "
+        f"CAST(array() AS array<string>) AS out), "
+        f"(a, i) -> CASE WHEN coalesce(try_element_at(_rm, a.j + 1), -1) = i "
+        f"THEN struct(a.j + 1 AS j, "
+        f"greatest(a.e, i + {w} - 1) AS e, a.out AS out) "
+        f"WHEN i <= a.e THEN a "
+        f"ELSE struct(a.j AS j, a.e AS e, "
+        f"concat(a.out, array(element_at(_toks, i))) AS out) END, "
+        f"a -> a.out)"
+    )
+    kept = joined.select(
+        id_col,
+        F.expr("size(_toks)").cast("int").alias("n_tokens"),
+        F.when(F.col("_rm").isNull(), F.col("_toks"))
+        .otherwise(F.expr(walk)).alias("_acc"),
+    )
+    return kept.select(
+        id_col,
+        F.expr("concat_ws(' ', _acc)").alias("text_deduped"),
+        "n_tokens",
+        (F.col("n_tokens") - F.expr("size(_acc)")).cast("int")
+        .alias("n_tokens_removed"),
+    )
+
+
 def keep_clean(
     train_df: DataFrame,
     eval_df: DataFrame,

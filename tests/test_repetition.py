@@ -256,3 +256,78 @@ def test_duplicate_windows_single_value_shuffle(spark, win_corpus):
         assert "partial_count" in plan, plan
     finally:
         conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+# --------------------------------------------------------------------------
+# exact duplicate-window REMOVAL (the text-rewrite half of substring dedup)
+# --------------------------------------------------------------------------
+
+from extract_address_ner_spark.operators.sanitize import (  # noqa: E402
+    remove_duplicate_windows,
+)
+
+
+def test_remove_duplicate_windows_fixture(spark, win_corpus):
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_windows(win_corpus, w=3).collect()}
+    # doc 0 owns the canonical occurrences of "a b c" and "b c d" — intact
+    assert out[0]["text_deduped"] == "a b c d e f g"
+    assert (out[0]["n_tokens"], out[0]["n_tokens_removed"]) == (7, 0)
+    # doc 1's occurrences (starts 3, 4) are non-canonical → tokens 3..6 cut
+    assert out[1]["text_deduped"] == "s t"
+    assert (out[1]["n_tokens"], out[1]["n_tokens_removed"]) == (6, 4)
+    # doc 2 repeats "x y z" WITHIN itself: the first occurrence is the
+    # global canonical, the second (start 4) is removed
+    assert out[2]["text_deduped"] == "x y z"
+    assert (out[2]["n_tokens"], out[2]["n_tokens_removed"]) == (6, 3)
+    # clean and too-short docs pass through whole
+    assert out[3]["text_deduped"] == "m n o p q r s"
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[4]["text_deduped"] == "u v"
+    assert (out[4]["n_tokens"], out[4]["n_tokens_removed"]) == (2, 0)
+
+
+def test_remove_duplicate_windows_case_preserved(spark):
+    # values match case-insensitively, kept text is NEVER lowercased
+    rows = [(1, "A B C D E f g"), (2, "x a b c d e y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_windows(df, w=5).collect()}
+    assert out[1]["text_deduped"] == "A B C D E f g"  # canonical, original case
+    assert out[2]["text_deduped"] == "x y z"
+    assert out[2]["n_tokens_removed"] == 5
+
+
+def test_remove_duplicate_windows_rejects_helper_collision(spark, win_corpus):
+    with pytest.raises(ValueError, match="_rm"):
+        remove_duplicate_windows(win_corpus.withColumn("_rm", win_corpus.text))
+
+
+def test_remove_duplicate_windows_long_doc_fold_is_linear(spark):
+    """The rebuild is an O(m) single forward fold, not exists()-per-token
+    (O(m·removals) — on fully-duplicated long docs that's O(m²), which never
+    finished at this size when prototyped). 4 docs × 8k tokens, all
+    duplicates of each other AND internally periodic (period 97), so the
+    canonical owner keeps exactly one period (97 tokens: window start 98
+    repeats start 1's value, so removals cover tokens 98..8000) and every
+    other doc collapses to empty. Generated engine-side so the fixture
+    costs no driver memory."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(
+        F.col("id").alias("doc_id"),
+        F.expr("concat_ws(' ', transform(sequence(1, 8000), "
+               "i -> concat('t', CAST(i % 97 AS STRING))))").alias("text"),
+    )
+    t0 = time.monotonic()
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_windows(df, w=15).collect()}
+    wall = time.monotonic() - t0
+    assert out[0]["n_tokens_removed"] == 8000 - 97  # one period survives
+    assert len(out[0]["text_deduped"].split(" ")) == 97
+    for d in (1, 2, 3):
+        assert out[d]["n_tokens_removed"] == 8000   # fully removed
+        assert out[d]["text_deduped"] == ""
+    assert wall < 90, f"fold took {wall:.1f}s — quadratic regression?"
