@@ -1281,3 +1281,51 @@ def q_dup_window_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_documents(spark, sf_dir)
     return remove_duplicate_windows(spark.sql(WINDOW_DOCS), w=6)
+
+
+# Deterministic NFC fixture: every 5th doc gets a suffix in DECOMPOSED form
+# (Hangul conjoining jamo U+1100 U+1161 + combining acute U+0301) — raw
+# bytes differ from the NFC forms (U+AC00, U+00E9) but render identically.
+# The literal is embedded as real UTF-8 in the shared SQL so both engines
+# parse identical bytes.
+_DECOMP_SUFFIX = "\u1100\u1161 cafe\u0301"  # NFC: U+AC00 / caf+U+00E9
+NORM_DOCS = f"""
+SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0 THEN text || ' {_DECOMP_SUFFIX}'
+       ELSE text END AS text
+FROM documents
+""".strip()
+
+
+def _norm_docs_oracle() -> str:
+    from .operators.sanitize import CONTROL_RE
+
+    norm = f"nfc_normalize(regexp_replace(text, '{CONTROL_RE}', '', 'g'))"
+    return f"""
+WITH p AS ({NORM_DOCS})
+SELECT doc_id, {norm} AS text_norm, ({norm} != text) AS changed
+FROM p"""
+
+
+@register(
+    "docs_text_normalize",
+    _norm_docs_oracle(),
+    # pytest-carried (tests/test_registry_oracles.py): driver registry is at
+    # its 50-entry cap.
+    driver=False,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (control-strip + compose) over the
+    decomposed-suffix corpus, value-compared bit-for-bit against DuckDB's
+    utf8proc `nfc_normalize` — two independent NFC implementations
+    (Python unicodedata / utf8proc) agreeing on the planted Hangul-jamo and
+    combining-accent forms. The operator exists because every content-keyed
+    stage (sha256 invariant, exact dedup, MinHash shingles, window values)
+    hashes BYTES: visually identical spellings must be byte-identical
+    first."""
+    from .operators.sanitize import normalize_text
+
+    register_documents(spark, sf_dir)
+    return normalize_text(spark.sql(NORM_DOCS)).select(
+        "doc_id", "text_norm", "changed"
+    )

@@ -43,6 +43,7 @@ need"), sharing the documents-table conventions of functions/textstats.py.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -444,3 +445,54 @@ def keep_clean(
     against the contamination hits — the production decontamination sink."""
     hits = decontaminate(train_df, eval_df, n=n, text_col=text_col, id_col=id_col)
     return train_df.join(hits.select(id_col), id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization (NFC) — text canonicalization before hashing/dedup
+# --------------------------------------------------------------------------
+
+#: C0 control characters except TAB (\\x09) and LF (\\x0A), plus DEL.
+#: Class-only pattern (Java ∩ RE2 subset) so the DuckDB oracle replays it
+#: verbatim. CR is stripped too: downstream operators treat \\n as the only
+#: line separator.
+CONTROL_RE = "[\\x00-\\x08\\x0B-\\x1F\\x7F]"
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonicalize a text column: strip C0 control characters (keeping tab
+    and newline), then Unicode-normalize to NFC. Adds ``text_norm`` and a
+    ``changed`` flag.
+
+    WHY this must run before anything content-keyed: the pipeline's sha256
+    invariant, exact dedup (sha256 groupBy), MinHash shingles, and the
+    duplicate-window value key all operate on BYTES — decomposed Hangul
+    (U+1100 U+1161) and precomposed (U+AC00) render identically but hash
+    differently, silently splitting duplicate groups and breaking
+    cross-system content equality. NFC is the W3C/WHATWG canonical form.
+
+    Implementation note (the ONE deliberate Python hop in the hygiene
+    family): Spark SQL has no Unicode-normalization function, so NFC runs
+    as an Arrow-batched pandas UDF over ``unicodedata.normalize`` — the
+    documented legitimate use of the slow path (built-ins first; this
+    semantic simply does not exist JVM-side). The control-strip stays a
+    JVM ``regexp_replace``. The UDF is a narrow per-row map: zero shuffle,
+    scan-bound at 100 TB, and the plan stays one stage.
+    """
+    if "text_norm" in df.columns or "changed" in df.columns:
+        raise ValueError(
+            "normalize_text: input already has a text_norm/changed column"
+        )
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    stripped = F.regexp_replace(F.col(text_col), CONTROL_RE, "")
+    out = df.withColumn("text_norm", _nfc(stripped))
+    return out.withColumn(
+        "changed", F.col("text_norm") != F.col(text_col)
+    )

@@ -8,6 +8,7 @@ join against the eval n-gram set.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from extract_address_ner_spark.operators.sanitize import (
     decontaminate,
@@ -153,3 +154,67 @@ def test_decontaminate_plan_broadcasts_eval_side(spark, decon_corpora):
         assert "Exchange" not in streamed, streamed
     finally:
         conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+# --------------------------------------------------------------------------
+# Unicode NFC normalization (normalize_text)
+# --------------------------------------------------------------------------
+
+from extract_address_ner_spark.operators.sanitize import (  # noqa: E402
+    normalize_text,
+)
+
+
+@pytest.fixture(scope="module")
+def norm_df(spark):
+    rows = [
+        (0, "plain ascii"),
+        (1, "\u1100\u1161 decomposed hangul"),   # NFC: U+AC00
+        (2, "cafe\u0301 combining acute"),        # NFC: caf + U+00E9
+        (3, "\uac00 precomposed already"),
+        (4, "bell\x07 null\x00 kept\ttab\nnl\x7fdel"),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_normalize_text_nfc_and_control_strip(spark, norm_df):
+    out = {r["doc_id"]: r for r in normalize_text(norm_df).collect()}
+    assert out[0]["text_norm"] == "plain ascii" and not out[0]["changed"]
+    # decomposed jamo compose to one Hangul syllable
+    assert out[1]["text_norm"][0] == "\uac00" and out[1]["changed"]
+    assert len(out[1]["text_norm"]) == len(out[1]["text"]) - 1
+    # combining acute composes onto the base letter
+    assert out[2]["text_norm"].startswith("caf\u00e9 ") and out[2]["changed"]
+    # already-NFC text is untouched
+    assert out[3]["text_norm"] == out[3]["text"] and not out[3]["changed"]
+    # C0 controls and DEL stripped; tab and newline kept
+    assert out[4]["text_norm"] == "bell null kept\ttab\nnldel"
+    assert out[4]["changed"]
+    # NULL passes through as NULL (changed is NULL too — three-valued !=)
+    assert out[5]["text_norm"] is None and out[5]["changed"] is None
+
+
+def test_normalize_text_idempotent(spark, norm_df):
+    once = normalize_text(norm_df).select(
+        "doc_id", F.col("text_norm").alias("text"))
+    twice = normalize_text(once).collect()
+    assert all(not r["changed"] for r in twice if r["changed"] is not None)
+
+
+def test_normalize_text_restores_hash_equality(spark):
+    """The operator's reason to exist: byte-keyed operators (sha256 dedup,
+    MinHash, window values) see decomposed and precomposed spellings as
+    DIFFERENT docs until normalization makes them byte-identical."""
+    rows = [(0, "\u1100\u1161\u1102\u1161\u1103\u1161 station"),
+            (1, "\uac00\ub098\ub2e4 station")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = df.select(F.sha2("text", 256).alias("h")).distinct().count()
+    norm = normalize_text(df).select(
+        F.sha2("text_norm", 256).alias("h")).distinct().count()
+    assert raw == 2 and norm == 1
+
+
+def test_normalize_text_rejects_output_collision(spark, norm_df):
+    with pytest.raises(ValueError, match="text_norm"):
+        normalize_text(norm_df.withColumn("text_norm", norm_df.text))
