@@ -57,6 +57,16 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     shuffle_partitions = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+    # Python workers (pandas UDFs / mapInPandas) must run the SAME
+    # interpreter as the driver — under a bare `python job.py` launch with a
+    # minimal PATH, Spark otherwise resolves `python3` from the OS, which
+    # may lack pyarrow/pandas entirely. spark-submit sets this itself;
+    # setdefault keeps any deployment-provided value authoritative.
+    import sys
+
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -43,7 +43,8 @@ edge stage.
 N deterministic hash shards (one file each, per-shard doc/BPE-token
 manifest) with a printed round-trip completeness check.
 
-``--hygiene`` runs the training-data HYGIENE stage over the corpus: PII
+``--hygiene`` runs the training-data HYGIENE stage over the corpus:
+Unicode NFC canonicalization first (content-keyed stages hash bytes), PII
 redaction with a zero-residual gate (the job fails if any pattern still
 matches the redacted text), eval-set 5-gram decontamination against the
 held-out ``doc_id % 17 = 5`` split (on a templated code corpus this
@@ -440,10 +441,16 @@ def main() -> int:
             boilerplate_lines,
             decontaminate,
             duplicate_window_stats,
+            normalize_text,
             pii_redact,
         )
 
-        docs = out["corpus"].selectExpr("doc_id", "content AS text")
+        raw = out["corpus"].selectExpr("doc_id", "content AS text")
+        # step 0: Unicode NFC canonicalization — everything downstream
+        # (sha256 gates, dedup keys, n-gram values) hashes BYTES
+        normed = normalize_text(raw)
+        n_norm_changed = normed.filter(F.col("changed")).count()
+        docs = normed.select("doc_id", F.col("text_norm").alias("text"))
         n_docs = docs.count()
         red = pii_redact(docs)
         pii = red.agg(
@@ -475,6 +482,7 @@ def main() -> int:
             F.sum("n_windows").alias("nw"), F.sum("n_dup_windows").alias("nd")
         ).collect()[0]
         dup_frac = (wstats["nd"] / wstats["nw"]) if wstats["nw"] else 0.0
+        print(f"hygiene: nfc_normalized changed={n_norm_changed}/{n_docs}")
         print(f"hygiene: pii_redacted emails={pii['n_emails']} "
               f"ips={pii['n_ips']} phones={pii['n_phones']} "
               f"residual_matches={residual}")

@@ -159,6 +159,7 @@ def test_job_entry_hygiene(tmp_path):
     repetition filter, boilerplate-line and duplicate-window reports — and
     writes the cleaned corpus under the warehouse."""
     stdout = _run_job(tmp_path, ["--master", "local[2]", "--hygiene"])
+    assert "hygiene: nfc_normalized changed=" in stdout
     assert "hygiene: pii_redacted" in stdout
     assert "residual_matches=0" in stdout
     assert "pii_gate=CLEAN" in stdout
