@@ -53,6 +53,14 @@ contamination by the GPT-3/Pile rule), the Gopher repetition filter, and
 boilerplate-line / duplicate-window reports; the cleaned corpus lands
 under ``<warehouse>/hygiene/corpus_clean``.
 
+``--quota-sample QUOTA`` runs the deterministic SAMPLING stage: the quota
+smallest-(hash, doc_id) rows of every ``--quota-group`` (default repo —
+the synthetic corpus's mega-repo holds half the rows, so the stage
+exercises the operator's skew bound: the mega-group's window input is
+prefiltered to ~oversample·quota rows), written under
+``<warehouse>/sample/corpus_quota`` with an exactness gate (every group
+at exactly min(quota, group size) or the job fails).
+
 ``--integrity-gate`` runs the eight-invariant integrity report
 (operators/graph_query.integrity_report) over the built edge/node stages
 and fails the job with a nonzero exit on ANY violation — the publish gate
@@ -143,6 +151,17 @@ def main() -> int:
              "duplicate-window reports; writes the cleaned corpus under "
              "<warehouse>/hygiene/corpus_clean and FAILS the job if any "
              "PII pattern survives redaction")
+    ap.add_argument(
+        "--quota-sample", type=int, metavar="QUOTA",
+        help="run the deterministic per-group sampling stage: keep the "
+             "QUOTA smallest-(hash, doc_id) rows of each --quota-group "
+             "(default repo — the synthetic corpus plants a mega-repo "
+             "holding half the rows, so this exercises the skew bound), "
+             "write the sample under <warehouse>/sample/corpus_quota, and "
+             "FAIL the job unless every group's sampled count equals "
+             "min(QUOTA, group size) exactly")
+    ap.add_argument("--quota-group", default="repo",
+                    help="group column for --quota-sample (default repo)")
     ap.add_argument(
         "--integrity-gate", action="store_true",
         help="run the eight-invariant KG integrity report (dangling "
@@ -494,6 +513,43 @@ def main() -> int:
         print(f"hygiene: clean corpus at {hy_dir} "
               f"pii_gate={'CLEAN' if residual == 0 else 'VIOLATED'}")
         if residual != 0:
+            ok = False
+    if args.quota_sample:
+        from pyspark.sql import functions as F
+
+        from extract_address_ner_spark.operators.sampling import (
+            stratified_quota_sample,
+        )
+
+        src = out["corpus"]
+        samp = stratified_quota_sample(
+            src, args.quota_group, args.quota_sample, key_col="doc_id"
+        )
+        qs_dir = str(Path(args.warehouse) / "sample" / "corpus_quota")
+        shutil.rmtree(qs_dir, ignore_errors=True)
+        samp.write.parquet(qs_dir)
+        back = spark.read.parquet(qs_dir)
+        # exactness gate: every group sampled at exactly min(quota, |group|)
+        g = args.quota_group
+        want = src.groupBy(g).agg(
+            F.least(F.count(F.lit(1)), F.lit(args.quota_sample)).alias("_want")
+        )
+        got = back.groupBy(g).agg(F.count(F.lit(1)).alias("_got"))
+        viol = (
+            want.join(got, g, "full_outer")
+            .where(
+                F.coalesce(F.col("_want"), F.lit(-1))
+                != F.coalesce(F.col("_got"), F.lit(-2))
+            )
+            .count()
+        )
+        n_src, n_samp = src.count(), back.count()
+        n_grp = want.count()
+        print(f"quota_sample: {n_samp}/{n_src} rows kept across {n_grp} "
+              f"{g} groups (quota={args.quota_sample}); "
+              f"violations={viol} "
+              f"gate={'EXACT' if viol == 0 else 'VIOLATED'}")
+        if viol != 0:
             ok = False
     if args.integrity_gate:
         from extract_address_ner_spark.operators.graph_query import (

@@ -166,3 +166,15 @@ def test_job_entry_hygiene(tmp_path):
     assert "hygiene: decontaminate eval_docs=" in stdout
     assert "hygiene: repetition_filter kept" in stdout
     assert (tmp_path / "wh" / "hygiene" / "corpus_clean").exists()
+
+
+def test_job_entry_quota_sample(tmp_path):
+    """Round 5: the shipped job runs the deterministic per-group sampling
+    stage over the skewed corpus (the synthesizer's mega-repo holds half
+    the rows) and gates on exact min(quota, |group|) membership per repo."""
+    stdout = _run_job(
+        tmp_path, ["--master", "local[2]", "--quota-sample", "7"])
+    assert "quota_sample:" in stdout
+    assert "violations=0" in stdout
+    assert "gate=EXACT" in stdout
+    assert (tmp_path / "wh" / "sample" / "corpus_quota").exists()
