@@ -694,19 +694,29 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def capped_repo_addr_cte(cap: int) -> str:
+    """The m/c/k CTE chain every co-mention-family oracle starts from
+    (rank-capped per-repo address sets — the SQL twin of
+    operators/graph_query._capped_repo_addr_sets). ONE definition so the
+    cap/tie-break rule cannot silently diverge across the five oracles
+    that build on it (comention, triangles, repo similarity, communities,
+    label propagation). Assumes a preceding ``_edges`` CTE."""
+    return f"""m AS (SELECT split_part(subj, ':', 1) AS repo, obj AS addr
+      FROM _edges WHERE pred = 'mentions_address'),
+c AS (SELECT repo, addr, count(*) AS nf FROM m GROUP BY 1, 2),
+k AS (SELECT repo, addr FROM
+        (SELECT *, row_number() OVER
+           (PARTITION BY repo ORDER BY nf DESC, addr) AS rk FROM c)
+      WHERE rk <= {cap})"""
+
+
 def gold_comention_sql(cap: int = 100) -> str:
     """Repo-level address co-mention projection: rank-capped per-repo
     address sets self-joined on repo with addr_a < addr_b — identical cap
     and tie-break rule as operators/graph_query.comention_pairs."""
     return f"""
 WITH _edges AS ({gold_edges_sql()}),
-m AS (SELECT split_part(subj, ':', 1) AS repo, obj AS addr
-      FROM _edges WHERE pred = 'mentions_address'),
-c AS (SELECT repo, addr, count(*) AS nf FROM m GROUP BY 1, 2),
-k AS (SELECT repo, addr FROM
-        (SELECT *, row_number() OVER
-           (PARTITION BY repo ORDER BY nf DESC, addr) AS rk FROM c)
-      WHERE rk <= {cap})
+{capped_repo_addr_cte(cap)}
 SELECT a.addr AS addr_a, b.addr AS addr_b,
        CAST(count(*) AS BIGINT) AS n_repos
 FROM k a JOIN k b ON a.repo = b.repo AND a.addr < b.addr
@@ -734,13 +744,7 @@ def gold_triangles_sql(cap: int = 100) -> str:
     enumeration order, never the triangle set)."""
     return f"""
 WITH _edges AS ({gold_edges_sql()}),
-m AS (SELECT split_part(subj, ':', 1) AS repo, obj AS addr
-      FROM _edges WHERE pred = 'mentions_address'),
-c AS (SELECT repo, addr, count(*) AS nf FROM m GROUP BY 1, 2),
-k AS (SELECT repo, addr FROM
-        (SELECT *, row_number() OVER
-           (PARTITION BY repo ORDER BY nf DESC, addr) AS rk FROM c)
-      WHERE rk <= {cap}),
+{capped_repo_addr_cte(cap)},
 p AS (SELECT DISTINCT a.addr AS pa, b.addr AS pb
       FROM k a JOIN k b ON a.repo = b.repo AND a.addr < b.addr),
 tri AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
@@ -785,13 +789,7 @@ def gold_repo_similarity_sql(cap: int = 100, max_df: int = 1000) -> str:
     max_df, and 6dp rounding as operators/graph_query.repo_similarity."""
     return f"""
 WITH _edges AS ({gold_edges_sql()}),
-m AS (SELECT split_part(subj, ':', 1) AS repo, obj AS addr
-      FROM _edges WHERE pred = 'mentions_address'),
-c AS (SELECT repo, addr, count(*) AS nf FROM m GROUP BY 1, 2),
-k AS (SELECT repo, addr FROM
-        (SELECT *, row_number() OVER
-           (PARTITION BY repo ORDER BY nf DESC, addr) AS rk FROM c)
-      WHERE rk <= {cap}),
+{capped_repo_addr_cte(cap)},
 rare AS (SELECT addr FROM
            (SELECT addr, count(*) AS dfc FROM k GROUP BY 1)
          WHERE dfc <= {max_df}),
@@ -827,13 +825,7 @@ def gold_communities_sql(cap: int = 100) -> str:
     co-mention partner are size-1 communities), plus per-community sizes."""
     return f"""
 WITH RECURSIVE _edges AS ({gold_edges_sql()}),
-m AS (SELECT split_part(subj, ':', 1) AS repo, obj AS addr
-      FROM _edges WHERE pred = 'mentions_address'),
-c AS (SELECT repo, addr, count(*) AS nf FROM m GROUP BY 1, 2),
-k AS (SELECT repo, addr FROM
-        (SELECT *, row_number() OVER
-           (PARTITION BY repo ORDER BY nf DESC, addr) AS rk FROM c)
-      WHERE rk <= {cap}),
+{capped_repo_addr_cte(cap)},
 p AS (SELECT DISTINCT a.addr AS pa, b.addr AS pb
       FROM k a JOIN k b ON a.repo = b.repo AND a.addr < b.addr),
 nodes AS (SELECT DISTINCT addr FROM m),
@@ -908,13 +900,7 @@ l{r} AS (
   ) w ON w.x = {prev}.node)""")
     return f"""
 WITH _edges AS ({gold_edges_sql()}),
-m AS (SELECT split_part(subj, ':', 1) AS repo, obj AS addr
-      FROM _edges WHERE pred = 'mentions_address'),
-c AS (SELECT repo, addr, count(*) AS nf FROM m GROUP BY 1, 2),
-k AS (SELECT repo, addr FROM
-        (SELECT *, row_number() OVER
-           (PARTITION BY repo ORDER BY nf DESC, addr) AS rk FROM c)
-      WHERE rk <= {cap}),
+{capped_repo_addr_cte(cap)},
 p AS (SELECT DISTINCT a.addr AS pa, b.addr AS pb
       FROM k a JOIN k b ON a.repo = b.repo AND a.addr < b.addr),
 ed AS (SELECT pa AS u, pb AS v FROM p UNION ALL SELECT pb AS u, pa AS v FROM p),

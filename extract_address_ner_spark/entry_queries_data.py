@@ -1080,14 +1080,14 @@ stats AS (SELECT doc_id, text,
     THEN 1 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
     ELSE 0 END, 4) AS DOUBLE) AS dup_line_frac,
   CAST(round(CASE WHEN coalesce(list_sum(list_transform(ls,
-      l -> strlen(l))), 0) > 0
+      l -> length(l))), 0) > 0
     THEN CAST(coalesce(list_sum(list_transform(list_distinct(ls),
-      l -> (len(list_filter(ls, x -> x = l)) - 1) * strlen(l))), 0)
-      AS DOUBLE) / list_sum(list_transform(ls, l -> strlen(l)))
+      l -> (len(list_filter(ls, x -> x = l)) - 1) * length(l))), 0)
+      AS DOUBLE) / list_sum(list_transform(ls, l -> length(l)))
     ELSE 0 END, 4) AS DOUBLE) AS dup_line_char_frac,
   top AS top_bigram,
   CAST(round(CASE WHEN len(bg) > 0
-    THEN CAST(maxc * strlen(top) AS DOUBLE) / greatest(strlen(text), 1)
+    THEN CAST(maxc * length(top) AS DOUBLE) / greatest(length(text), 1)
     ELSE 0 END, 4) AS DOUBLE) AS top2gram_char_frac
 FROM b4)""".strip()
 

@@ -132,7 +132,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     the cost of a shuffle — this local form keeps the 100 TB plan scan-bound.
     Fractions are 4-dp-rounded doubles so both engines hash identically.
     """
-    for helper in ("_lines", "_bg", "_toks"):
+    for helper in ("_lines", "_bg", "_toks", "_maxc", "_top"):
         if helper in df.columns:
             raise ValueError(
                 f"with_repetition_stats: input already has a {helper!r} column"
@@ -166,14 +166,21 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "aggregate(array_distinct(_lines), CAST(0 AS BIGINT), (a, l) -> "
         "a + (size(filter(_lines, x -> x = l)) - 1) * length(l))"
     )
+    # _maxc/_top are materialized as column attributes for the same reason
+    # as _toks above: maxc is itself O(d·m); splicing its TEXT into the
+    # `top` filter lambda re-evaluates it per distinct bigram — O(d²·m)
+    # per document (measured: a single 1000-token doc took 73 s; 2000
+    # tokens never finished). As multiply-referenced non-cheap projections
+    # they are computed once per row and the top-bigram pass stays O(d·m).
     maxc = (
         "array_max(transform(array_distinct(_bg), "
         "b -> size(filter(_bg, x -> x = b))))"
     )
     top = (
-        f"array_min(filter(array_distinct(_bg), "
-        f"b -> size(filter(_bg, x -> x = b)) = {maxc}))"
+        "array_min(filter(array_distinct(_bg), "
+        "b -> size(filter(_bg, x -> x = b)) = _maxc))"
     )
+    df = df.withColumn("_maxc", F.expr(maxc)).withColumn("_top", F.expr(top))
     n_lines = F.expr("size(_lines)")
     out = (
         df.withColumn("n_lines", n_lines.cast("int"))
@@ -190,18 +197,18 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.when(tot_line_chars > 0, dup_line_chars / tot_line_chars)
                 .otherwise(F.lit(0.0)), 4).cast("double"),
         )
-        .withColumn("top_bigram", F.expr(f"CASE WHEN size(_bg) > 0 THEN {top} END"))
+        .withColumn("top_bigram", F.expr("CASE WHEN size(_bg) > 0 THEN _top END"))
         .withColumn(
             "top2gram_char_frac",
             F.round(
                 F.when(
                     F.expr("size(_bg)") > 0,
-                    F.expr(f"{maxc} * length({top})")
+                    F.expr("_maxc * length(_top)")
                     / F.greatest(F.length(text_col), F.lit(1)),
                 ).otherwise(F.lit(0.0)), 4).cast("double"),
         )
     )
-    return out.drop("_lines", "_bg", "_toks")
+    return out.drop("_lines", "_bg", "_toks", "_maxc", "_top")
 
 
 def gopher_repetition_filter(

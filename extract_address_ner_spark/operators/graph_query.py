@@ -334,6 +334,28 @@ def integrity_report(
     ).select("check", F.col("n").cast("long").alias("n"))
 
 
+def _capped_repo_addr_sets(edges: DataFrame, cap: int) -> DataFrame:
+    """Rank-capped per-repo address sets — one row per kept (repo, addr):
+    MENTIONS edges keyed to repo granularity, (repo, addr) mention counts,
+    then per repo only the ``cap`` most-mentioned addresses survive
+    (count desc, address id as the deterministic tie-break). ONE
+    definition shared by ``comention_pairs`` and ``repo_similarity`` (and
+    mirrored verbatim by entry_queries.capped_repo_addr_cte) so the
+    cap/tie-break rule cannot silently diverge between the two operators
+    and their oracles. Returned unpersisted — callers decide caching."""
+    m = edges.filter(F.col("pred") == MENTIONS).select(
+        F.substring_index("subj", ":", 1).alias("repo"),
+        F.col("obj").alias("addr"),
+    )
+    counts = m.groupBy("repo", "addr").agg(F.count(F.lit(1)).alias("_nf"))
+    w = Window.partitionBy("repo").orderBy(F.desc("_nf"), F.asc("addr"))
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .select("repo", "addr")
+    )
+
+
 def comention_pairs(edges: DataFrame, cap: int = 100) -> DataFrame:
     """(addr_a, addr_b, n_repos): the co-mention projection of the
     bipartite file→address graph at repo granularity — two canonical
@@ -356,19 +378,7 @@ def comention_pairs(edges: DataFrame, cap: int = 100) -> DataFrame:
     a fat-tailed corpus pick cap to taste and the planted-graph test pins
     the deterministic cut. The capped per-repo sets feed BOTH sides of
     the pair join, so they are persisted (scope-aware)."""
-    m = edges.filter(F.col("pred") == MENTIONS).select(
-        F.substring_index("subj", ":", 1).alias("repo"),
-        F.col("obj").alias("addr"),
-    )
-    counts = m.groupBy("repo", "addr").agg(
-        F.count(F.lit(1)).alias("_nf")
-    )
-    w = Window.partitionBy("repo").orderBy(F.desc("_nf"), F.asc("addr"))
-    kept = _persist(
-        counts.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= cap)
-        .select("repo", "addr")
-    )
+    kept = _persist(_capped_repo_addr_sets(edges, cap))
     a, b = kept.alias("a"), kept.alias("b")
     return (
         a.join(b, "repo")
@@ -631,17 +641,7 @@ def repo_similarity(
     (same grain argument as ``pagerank``). The filtered index feeds both
     join sides and the size table, so it is persisted (scope-registered —
     see the module caching contract)."""
-    m = edges.filter(F.col("pred") == MENTIONS).select(
-        F.substring_index("subj", ":", 1).alias("repo"),
-        F.col("obj").alias("addr"),
-    )
-    counts = m.groupBy("repo", "addr").agg(F.count(F.lit(1)).alias("_nf"))
-    w = Window.partitionBy("repo").orderBy(F.desc("_nf"), F.asc("addr"))
-    kept = (
-        counts.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= cap)
-        .select("repo", "addr")
-    )
+    kept = _capped_repo_addr_sets(edges, cap)
     rare = (
         kept.groupBy("addr")
         .agg(F.count(F.lit(1)).alias("_df"))

@@ -108,8 +108,11 @@ def stratified_quota_sample(
         .join(F.broadcast(counts), group_col)
         .where(
             (F.col("_grp_n") <= F.lit(thresh))
+            # thresh * GRAIN overflows int32 once oversample·quota >= 2148
+            # (ANSI mode makes that a hard error) — multiply as longs
             | (F.col("_hb")
-               < F.ceil(F.lit(thresh) * F.lit(GRAIN) / F.col("_grp_n")))
+               < F.ceil(F.lit(int(thresh)).cast("long") * F.lit(GRAIN).cast("long")
+                        / F.col("_grp_n")))
         )
     )
     w = Window.partitionBy(group_col).orderBy(F.col("_hb"), F.col(key_col))
@@ -142,7 +145,7 @@ _pre AS (
   SELECT _in.*, {hb} AS _hb, _cnt._grp_n
   FROM _in JOIN _cnt USING ({group_col})
   WHERE _cnt._grp_n <= {thresh}
-     OR {hb} < CAST(ceil({thresh} * {GRAIN} * 1.0 / _cnt._grp_n) AS BIGINT)
+     OR {hb} < CAST(ceil({thresh * GRAIN} * 1.0 / _cnt._grp_n) AS BIGINT)
 ),
 _rk AS (
   SELECT _pre.*, row_number() OVER (

@@ -466,28 +466,37 @@ def main() -> int:
 
         raw = out["corpus"].selectExpr("doc_id", "content AS text")
         # step 0: Unicode NFC canonicalization — everything downstream
-        # (sha256 gates, dedup keys, n-gram values) hashes BYTES
-        normed = normalize_text(raw)
-        n_norm_changed = normed.filter(F.col("changed")).count()
-        docs = normed.select("doc_id", F.col("text_norm").alias("text"))
-        n_docs = docs.count()
-        red = pii_redact(docs)
-        pii = red.agg(
-            *[F.sum(c).alias(c) for c, _p, _t in PII_STEPS]
+        # (sha256 gates, dedup keys, n-gram values) hashes BYTES.
+        # The stage fans out into ~8 actions (counts, gates, reports, the
+        # parquet write); without persists each one re-runs the Arrow NFC
+        # UDF + the PII regex chain from the scan — ~8× the stage's cost.
+        # Persist the two expensive frontiers (post-NFC, post-redact) and
+        # the contamination hits; everything downstream is column pruning.
+        normed = normalize_text(raw).persist()
+        nrow = normed.agg(
+            F.sum(F.col("changed").cast("long")).alias("_chg"),
+            F.count(F.lit(1)).alias("_n"),
         ).collect()[0]
-        # the redaction gate: re-scan the REDACTED text with every pattern —
-        # zero residual matches or the job fails
-        residual = red.agg(F.sum(sum(
-            F.size(F.regexp_extract_all("redacted", F.lit(p), F.lit(0)))
-            for _c, p, _t in PII_STEPS
-        ))).collect()[0][0]
+        n_norm_changed, n_docs = int(nrow["_chg"] or 0), nrow["_n"]
+        docs = normed.select("doc_id", F.col("text_norm").alias("text"))
+        red = pii_redact(docs).persist()
+        # one pass for the per-type counts AND the redaction gate (re-scan
+        # the REDACTED text with every pattern — zero residuals or fail)
+        prow = red.agg(
+            *[F.sum(c).alias(c) for c, _p, _t in PII_STEPS],
+            F.sum(sum(
+                F.size(F.regexp_extract_all("redacted", F.lit(p), F.lit(0)))
+                for _c, p, _t in PII_STEPS
+            )).alias("_residual"),
+        ).collect()[0]
+        pii, residual = prow, prow["_residual"]
         cleaned = red.select("doc_id", F.col("redacted").alias("text"))
         # eval-set decontamination: the held-out split is doc_id % 17 = 5
         # (the registry's eval-split convention); any training doc sharing
         # a 5-gram with it is dropped before the repetition filter
         ev = cleaned.filter(F.col("doc_id") % 17 == 5)
         train = cleaned.filter(F.col("doc_id") % 17 != 5)
-        hits = decontaminate(train, ev)
+        hits = decontaminate(train, ev).persist()
         n_contam = hits.count()
         decon = train.join(hits.select("doc_id"), "doc_id", "left_anti")
         kept = gopher_repetition_filter(decon)
@@ -512,6 +521,8 @@ def main() -> int:
               f"dup_window_frac={dup_frac:.4f} (w=15)")
         print(f"hygiene: clean corpus at {hy_dir} "
               f"pii_gate={'CLEAN' if residual == 0 else 'VIOLATED'}")
+        for _c in (hits, red, normed):
+            _c.unpersist()
         if residual != 0:
             ok = False
     if args.quota_sample:

@@ -344,13 +344,42 @@ def test_connected_components_string_ids(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "z": "z"}
 
 
+def _cached_rdd_ids(sc) -> set:
+    return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()
+            if i.numCachedPartitions() > 0}
+
+
+def _no_new_residual(sc, baseline: set) -> set:
+    """Cached-RDD ids beyond ``baseline``, after giving the async
+    ContextCleaner a chance to run: localCheckpoint blocks (components /
+    pagerank / LPA round truncation) are released by GC + ContextCleaner,
+    not by unpersist, so a raw getRDDStorageInfo snapshot is timing-flaky
+    under a loaded host. Retry with explicit driver-side GC for a few
+    seconds before declaring a leak."""
+    import gc
+    import time
+
+    deadline = time.monotonic() + 15
+    while True:
+        extra = _cached_rdd_ids(sc) - baseline
+        if not extra or time.monotonic() > deadline:
+            return extra
+        gc.collect()
+        sc._jvm.System.gc()
+        time.sleep(0.5)
+
+
 def test_dedup_cache_scope_releases_blocks(spark, sf_smoke):
     """Round-3 (VERDICT r02 #5 / ADVICE r01 #3): a long-lived session
     issuing many dedup calls inside dedup_cache_scope() must hold no
-    residual cached blocks after the scopes exit."""
+    residual cached blocks after the scopes exit. Measured as NO NEW
+    cached RDDs vs the pre-scope baseline: earlier tests' localCheckpoint
+    blocks (cleaned asynchronously by GC + ContextCleaner, untouched by
+    catalog.clearCache) must not fail this test."""
     docs = dup_documents(spark, sf_smoke).limit(300)
     spark.catalog.clearCache()
     sc = spark.sparkContext
+    baseline = _cached_rdd_ids(sc)
     for _ in range(3):
         with dedup.dedup_cache_scope():
             assert dedup.lsh_verified_pairs(docs).count() >= 0
@@ -358,17 +387,14 @@ def test_dedup_cache_scope_releases_blocks(spark, sf_smoke):
             assert dedup.simhash_near_pairs(docs).count() >= 0
             assert dedup.lsh_verified_pairs(
                 docs, prefilter_candidates=True).count() >= 0
-    # no persisted RDDs with live blocks remain
-    residual = [i for i in sc._jsc.sc().getRDDStorageInfo()
-                if i.numCachedPartitions() > 0]
-    assert residual == []
+    # no NEW persisted RDDs with live blocks remain
+    assert _no_new_residual(sc, baseline) == set()
     # connected_components' FINAL label table is scope-registered too —
     # the full dedup_near chain inside a scope leaves nothing cached
+    # (its per-round localCheckpoints are GC-cleaned, hence the retry)
     with dedup.dedup_cache_scope():
         assert dedup.dedup_near(docs).count() >= 0
-    residual = [i for i in sc._jsc.sc().getRDDStorageInfo()
-                if i.numCachedPartitions() > 0]
-    assert residual == []
+    assert _no_new_residual(sc, baseline) == set()
     # NESTED scopes: the inner exit must not unhook the outer scope
     # (regression: list.remove pops by ==, and element-identical scope
     # lists compare equal — the outer scope leaked everything persisted
@@ -377,9 +403,7 @@ def test_dedup_cache_scope_releases_blocks(spark, sf_smoke):
         with dedup.dedup_cache_scope():
             assert dedup.jaccard_pairs(docs).count() >= 0
         assert dedup.simhash_near_pairs(docs).count() >= 0
-    residual = [i for i in sc._jsc.sc().getRDDStorageInfo()
-                if i.numCachedPartitions() > 0]
-    assert residual == []
+    assert _no_new_residual(sc, baseline) == set()
 
 
 def test_dedup_near_keeps_one_per_component(spark, sf_smoke):

@@ -331,3 +331,83 @@ def test_remove_duplicate_windows_long_doc_fold_is_linear(spark):
         assert out[d]["n_tokens_removed"] == 8000   # fully removed
         assert out[d]["text_deduped"] == ""
     assert wall < 90, f"fold took {wall:.1f}s — quadratic regression?"
+
+
+def test_repetition_stats_long_doc_top_bigram_single_pass(spark):
+    """The top-bigram pass must stay O(d·m) per document: maxc/top are
+    materialized column attributes (_maxc/_top), not textual subtrees
+    spliced into the distinct-bigram filter lambda. The spliced form
+    re-evaluated the O(d·m) maxc scan PER distinct bigram — O(d²·m): a
+    single 1000-token mostly-distinct doc took 73 s and 2000 tokens never
+    finished. 3000 tokens with ~2950 distinct bigrams must finish in
+    seconds."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    # tokens t0..t2999 with a planted repeat so the top bigram is unique:
+    # "r r" appears 3 times at the front, every other bigram once.
+    df = spark.range(2).select(
+        F.col("id").alias("doc_id"),
+        F.expr("concat('r r r r ', concat_ws(' ', transform("
+               "sequence(1, 3000), i -> concat('t', CAST(i AS STRING)))))"
+               ).alias("text"),
+    )
+    t0 = time.monotonic()
+    out = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    wall = time.monotonic() - t0
+    assert out[0]["top_bigram"] == "r r"
+    assert wall < 60, f"top-bigram took {wall:.1f}s — O(d²·m) regression?"
+
+
+def test_repetition_stats_nonascii_oracle_agreement(spark):
+    """dup_line_char_frac / top2gram_char_frac are CHARACTER fractions on
+    both engines. The DuckDB oracle must use length() (chars), not strlen()
+    (bytes): on multi-byte text — this repo's whole domain is Korean
+    addresses — strlen('서울') = 6 vs length('서울') = 2 and the engines
+    diverge. The sf fixtures are pure ASCII, so this planted-Hangul compare
+    is the only thing standing between that bug and the driver."""
+    import duckdb
+
+    from extract_address_ner_spark.entry_queries_data import (
+        LINE_DOCS,
+        _REP_STATS_CTE,
+    )
+
+    rows = [
+        (0, "서울특별시 강남구\n서울특별시 강남구\nrue du café"),
+        (1, "대구 수성구 대구 수성구 대구 수성구"),
+        (2, "plain ascii line\nplain ascii line"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    sdf.createOrReplaceTempView("documents")
+    try:
+        spark_rows = {
+            r["doc_id"]: r
+            for r in with_repetition_stats(spark.sql(LINE_DOCS))
+            .select("doc_id", "n_lines", "dup_line_frac",
+                    "dup_line_char_frac", "top_bigram",
+                    "top2gram_char_frac")
+            .collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    duck_rows = {
+        r[0]: r
+        for r in con.execute(
+            f"{_REP_STATS_CTE}\n"
+            "SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac, "
+            "top_bigram, top2gram_char_frac FROM stats"
+        ).fetchall()
+    }
+    assert set(spark_rows) == set(duck_rows)
+    for d, s in spark_rows.items():
+        k = duck_rows[d]
+        assert (s["n_lines"], s["dup_line_frac"], s["dup_line_char_frac"],
+                s["top_bigram"], s["top2gram_char_frac"]) == (
+            k[1], k[2], k[3], k[4], k[5]), f"doc {d}: {s} vs {k}"

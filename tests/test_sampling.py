@@ -146,3 +146,14 @@ def test_mix_rejects_reserved_column_collision(spark, three_sources):
     bad = three_sources[0][1].withColumn("source_name", F.lit("x"))
     with pytest.raises(ValueError, match="reserved"):
         mix_corpora([("w", bad, 0.5)], 100)
+
+
+def test_stratified_quota_large_quota_no_int32_overflow(skewed):
+    """quota ≥ 537 (default oversample=4) used to throw ARITHMETIC_OVERFLOW
+    under this repo's ANSI session: the prefilter computed
+    int32(thresh) * int32(GRAIN) and 4·537·1e6 > 2³¹. The multiply must be
+    long-typed; production quotas (jobs --quota-sample 1000) are well past
+    the old ceiling. Groups smaller than the quota come back whole."""
+    out = stratified_quota_sample(skewed, "grp", 600).groupBy("grp").count()
+    got = {r["grp"]: r["count"] for r in out.collect()}
+    assert got == {"a": 600, "b": 50, "c": 3}
