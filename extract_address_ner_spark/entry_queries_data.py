@@ -272,6 +272,41 @@ def q_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    # pytest-carried (tests/test_registry_oracles.py): driver registry is at
+    # its 50-entry cap; replayed with the driver's exact compare.
+    "docs_similar_topk",
+    f"""
+WITH {_D_LSH_CTES},
+qcand AS (SELECT DISTINCT qb.doc_id AS query_id, cb.doc_id AS doc_id
+          FROM bands qb JOIN bands cb
+            ON qb.band_idx = cb.band_idx AND qb.band_sig = cb.band_sig
+               AND cb.doc_id != qb.doc_id
+          WHERE qb.doc_id % 101 = 7),
+qj AS (SELECT query_id, qcand.doc_id,
+       CAST(round(len(list_intersect(sa.sh, sb.sh)) /
+         (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+         AS DOUBLE) AS jaccard
+       FROM qcand
+       JOIN dsh sa ON sa.doc_id = qcand.query_id
+       JOIN dsh sb ON sb.doc_id = qcand.doc_id),
+qr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         ORDER BY jaccard DESC, doc_id) AS rank FROM qj)
+SELECT query_id, doc_id, jaccard, CAST(rank AS INT) AS rank
+FROM qr WHERE rank <= 10""",
+    driver=False,
+)
+def q_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual similarity search serving (dedup.similar_docs): top-10
+    nearest corpus docs by exact shingle-Jaccard over LSH candidates, for
+    the query docs ``doc_id % 101 = 7`` drawn from the dup corpus. The
+    text twin of ``ann_*_topk``; probe is a broadcast of the query band
+    table — no corpus self-join (plan pinned in tests/test_datapipeline.py)."""
+    docs = dup_documents(spark, sf_dir)
+    qs = docs.filter(F.col("doc_id") % 101 == 7)
+    return dedup.similar_docs(docs, qs, k=10)
+
+
+@register(
     "dedup_components",
     f"""
 WITH RECURSIVE {_D_LSH_CTES},

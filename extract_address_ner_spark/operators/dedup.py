@@ -59,7 +59,7 @@ from __future__ import annotations
 import contextlib
 import threading
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -438,6 +438,90 @@ def lsh_verified_pairs(
                                max_bucket_size)
     return jaccard_verify(df, cand, text_col, id_col, threshold,
                           prefilter_candidates)
+
+
+def similar_docs(
+    df: DataFrame, queries: DataFrame, k: int = 10,
+    text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = N_HASHES, band_size: int = BAND_SIZE,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Textual similarity SEARCH over the corpus — the serving read of the
+    MinHash-LSH machinery (the embedding family's ``ann.py`` twin for
+    text): for each query doc, the top-``k`` most-similar corpus docs as
+    ``(query_id, doc_id, jaccard, rank)``, by exact shingle-Jaccard over
+    LSH-candidate docs only. The "find documents like this one" read a
+    training-data pipeline needs next after dedup — e.g. expanding one
+    contaminated/flagged document into its whole near-dup family.
+
+    Scale shape (100 TB corpus, handful-to-thousands of queries):
+
+    - The corpus is scanned ONCE for its band table; the query band table
+      (n_bands rows per query) is broadcast, so candidate generation is a
+      map-side BroadcastHashJoin — no corpus self-join, no corpus shuffle.
+    - Exact Jaccard runs on candidates only (same candidate-bounded cost
+      argument as ``lsh_verified_pairs``); the corpus is semi-joined to
+      candidate ids BEFORE shingling the verification side, so the
+      shingle+intersect work is ∝ candidates, not corpus.
+    - The per-query top-k window sees only that query's candidates —
+      bounded by its duplicate family, never the corpus.
+    - ``max_bucket_size`` (default None = exact) drops boilerplate buckets
+      before the probe, same trade-off as ``lsh_candidate_pairs``.
+
+    Ranking is deterministic cross-engine: jaccard is 4-dp-rounded FIRST
+    (integer-count ratios — both engines compute the identical double) and
+    ties break on ascending doc id. Queries drawn from the corpus never
+    match themselves (``doc_id != query_id``)."""
+    from ..session import ensure_optimizer_confs
+
+    ensure_optimizer_confs(df.sparkSession)
+    bands = lsh_band_table(df, text_col, id_col, n_hashes, band_size)
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band_idx", "band_sig").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        bands = (
+            bands.join(sizes, ["band_idx", "band_sig"])
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    q_bands = lsh_band_table(queries, text_col, id_col, n_hashes, band_size
+                             ).withColumnRenamed(id_col, "query_id")
+    cand = (
+        bands.join(F.broadcast(q_bands), ["band_idx", "band_sig"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .distinct()
+    )
+    cand = _persist(cand)  # feeds the semi-join AND the verify join
+    corpus_sh = (
+        with_shingles(df.join(cand.select(id_col).distinct(),
+                              id_col, "left_semi"), text_col)
+        .select(id_col, F.array_distinct(F.col("_shingles")).alias("_sb"))
+    )
+    q_sh = (
+        with_shingles(queries, text_col)
+        .select(F.col(id_col).alias("query_id"),
+                F.array_distinct(F.col("_shingles")).alias("_sa"))
+    )
+    n_inter = F.size(F.array_intersect("_sa", "_sb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("jaccard"), F.asc(id_col)
+    )
+    return (
+        cand.join(corpus_sh, id_col)
+        .join(F.broadcast(q_sh), "query_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                n_inter / (F.size("_sa") + F.size("_sb") - n_inter), 4
+            ).cast("double"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "jaccard",
+                F.col("rank").cast("int").alias("rank"))
+    )
 
 
 def jaccard_verify(

@@ -855,3 +855,39 @@ def test_ivf_displaced_cluster_recovery(spark, sf_correct, tmp_path):
                                            nprobe=6).collect()))
     assert got == want
     assert os.path.isdir(victim) and not os.path.isdir(victim + ".old")
+
+
+def test_similar_docs_serving(spark, sf_smoke):
+    """Textual similarity search (dedup.similar_docs): for a query doc with
+    a planted exact copy (doc_id % 7 = 0 → +200000), the copy must be rank
+    1 at jaccard 1.0; the query never matches itself; every returned
+    jaccard is 4-dp-rounded and ranks are contiguous from 1 with the
+    (jaccard desc, doc_id asc) tie-break."""
+    docs = dup_documents(spark, sf_smoke)
+    qs = docs.filter(F.col("doc_id") == 0)
+    rows = dedup.similar_docs(docs, qs, k=10).collect()
+    assert rows, "query 0 has a planted exact copy — result cannot be empty"
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    assert [r["rank"] for r in by_rank] == list(range(1, len(rows) + 1))
+    assert by_rank[0]["doc_id"] == 200000 and by_rank[0]["jaccard"] == 1.0
+    assert all(r["query_id"] == 0 and r["doc_id"] != 0 for r in rows)
+    ja = [r["jaccard"] for r in by_rank]
+    assert ja == sorted(ja, reverse=True)
+    # k truncates: k=1 returns exactly the top hit
+    one = dedup.similar_docs(docs, qs, k=1).collect()
+    assert [(r["doc_id"], r["rank"]) for r in one] == [(200000, 1)]
+
+
+def test_similar_docs_plan_broadcasts_query_side(spark, sf_smoke):
+    """The probe must be a broadcast of the QUERY band table (and query
+    shingles) against one corpus scan — no corpus band self-join, no
+    corpus-sized shuffle for candidate generation. Pinned: ≥2 broadcast
+    joins (band probe + shingle verify) and zero CartesianProduct."""
+    docs = dup_documents(spark, sf_smoke)
+    qs = docs.filter(F.col("doc_id") % 101 == 7)
+    plan = (
+        dedup.similar_docs(docs, qs, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
