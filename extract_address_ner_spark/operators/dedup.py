@@ -445,6 +445,7 @@ def similar_docs(
     text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = N_HASHES, band_size: int = BAND_SIZE,
     max_bucket_size: int | None = None,
+    band_index: DataFrame | None = None,
 ) -> DataFrame:
     """Textual similarity SEARCH over the corpus — the serving read of the
     MinHash-LSH machinery (the embedding family's ``ann.py`` twin for
@@ -471,11 +472,23 @@ def similar_docs(
     Ranking is deterministic cross-engine: jaccard is 4-dp-rounded FIRST
     (integer-count ratios — both engines compute the identical double) and
     ties break on ascending doc id. Queries drawn from the corpus never
-    match themselves (``doc_id != query_id``)."""
+    match themselves (``doc_id != query_id``).
+
+    ``band_index``: a pre-materialized corpus band table — e.g. the
+    durable ``bands/v*`` parquet index the incremental dedup path
+    accumulates (entry_queries_streaming.merge_dedup_labels /
+    compact_band_index) — so serving skips re-banding the corpus
+    entirely: the probe reads the index, and the only corpus scan left is
+    shingling the candidate docs. Must have been built with the same
+    (n_hashes, band_size) and id/text columns; results are identical to
+    the from-scratch path (pytest-pinned)."""
     from ..session import ensure_optimizer_confs
 
     ensure_optimizer_confs(df.sparkSession)
-    bands = lsh_band_table(df, text_col, id_col, n_hashes, band_size)
+    if band_index is not None:
+        bands = band_index
+    else:
+        bands = lsh_band_table(df, text_col, id_col, n_hashes, band_size)
     if max_bucket_size is not None:
         sizes = bands.groupBy("band_idx", "band_sig").agg(
             F.count(F.lit(1)).alias("_bn")

@@ -891,3 +891,19 @@ def test_similar_docs_plan_broadcasts_query_side(spark, sf_smoke):
     )
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_similar_docs_serves_from_durable_band_index(spark, sf_smoke, tmp_path):
+    """Index-serving twin (the ann.ivf_topk_from_index shape for text):
+    similar_docs(band_index=...) probing a parquet-backed band table —
+    written in the incremental path's bands/v* convention — must return
+    exactly the from-scratch result, with the corpus never re-banded."""
+    docs = dup_documents(spark, sf_smoke)
+    qs = docs.filter(F.col("doc_id") % 101 == 7)
+    root = str(tmp_path / "bands" / "v0")
+    dedup.lsh_band_table(docs).write.parquet(root)
+    idx = spark.read.parquet(str(tmp_path / "bands" / "v*"))
+    fresh = sorted(map(tuple, dedup.similar_docs(docs, qs, k=5).collect()))
+    served = sorted(map(tuple, dedup.similar_docs(
+        docs, qs, k=5, band_index=idx).collect()))
+    assert served == fresh and fresh
