@@ -1166,6 +1166,113 @@ def q_graph_bgp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gold_char_sets_sql() -> str:
+    """Characteristic sets in plain SQL: per-subject sorted-distinct
+    predicate list (DuckDB list(DISTINCT …) + list_sort ≙ Spark
+    collect_set + sort_array), then group by the set."""
+    return f"""
+WITH _edges AS ({gold_edges_sql()}),
+ps AS (
+  SELECT subj,
+         array_to_string(list_sort(list(DISTINCT pred)), ',') AS pred_set,
+         count(*) AS n
+  FROM _edges GROUP BY subj)
+SELECT pred_set, CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(n) AS BIGINT) AS n_triples
+FROM ps GROUP BY pred_set"""
+
+
+@register("graph_char_sets", gold_char_sets_sql(), driver=False)
+def q_graph_char_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte): subjects grouped by their
+    exact set of outgoing predicates — the RDF-store schema summary /
+    cardinality-estimation structure, and the cheapest "what entity shapes
+    does this KG contain" report. Two map-side-combinable shuffles; output
+    cardinality = distinct predicate combinations (tiny at any scale).
+    Pytest-carried (driver registry is at its 50-entry cap;
+    tests/test_registry_oracles.py replays this against the oracle exactly
+    the way the driver would)."""
+    from .operators.kg_export import characteristic_sets
+
+    return characteristic_sets(_built_edges(spark, sf_dir))
+
+
+def gold_pred_stats_sql() -> str:
+    return f"""
+WITH _edges AS ({gold_edges_sql()})
+SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+FROM _edges GROUP BY pred"""
+
+
+@register("graph_pred_stats", gold_pred_stats_sql(), driver=False)
+def q_graph_pred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID-style per-predicate statistics (triples, distinct subjects,
+    distinct objects) — with `graph_char_sets` the planner-statistics pair
+    an RDF store keeps for cardinality estimation. One pred-keyed shuffle,
+    map-side combinable; output is O(#predicates). Pytest-carried (driver
+    registry is at its 50-entry cap; tests/test_registry_oracles.py replays
+    this against the oracle exactly the way the driver would)."""
+    from .operators.kg_export import predicate_stats
+
+    return predicate_stats(_built_edges(spark, sf_dir))
+
+
+def gold_embed_negatives_sql(k: int = 2, seed: int = 7, buckets: int = 16) -> str:
+    """The export's md5 draws, re-expressed in DuckDB (the same
+    conv↔concat('0x',…) bridge every hash-keyed oracle here uses): salt-
+    bucketed node ranks, two draws per (triple, ordinal) for (bucket, rank),
+    filtered-negatives anti-join, positives ∪ negatives."""
+    h = "CAST(concat('0x', substr(md5({}), 1, 15)) AS BIGINT)"
+    tkey = "concat('{}:', '" + str(seed) + ":', subj, '|', pred, '|', obj, '#', i)"
+    return f"""
+WITH _edges AS ({gold_edges_sql()}),
+pos AS (SELECT DISTINCT subj, pred, obj FROM _edges),
+nodes AS (
+  SELECT node, {h.format(f"concat('nb:{seed}:', node)")} % {buckets} AS bucket
+  FROM (SELECT subj AS node FROM _edges UNION SELECT obj FROM _edges)),
+ranked AS (
+  SELECT node, bucket,
+    CAST(row_number() OVER (PARTITION BY bucket ORDER BY node) AS BIGINT) - 1
+      AS rnk
+  FROM nodes),
+sizes AS (SELECT bucket, count(*) AS bucket_n FROM ranked GROUP BY bucket),
+cand AS (
+  SELECT subj, pred, obj, i,
+    {h.format(tkey.format('b'))} % {buckets} AS bucket,
+    {h.format(tkey.format('r'))} % {2**31} AS rdraw
+  FROM pos CROSS JOIN (SELECT unnest(range({k})) AS i)),
+neg AS (
+  SELECT DISTINCT c.subj, c.pred, r.node AS obj
+  FROM cand c
+  JOIN sizes s USING (bucket)
+  JOIN ranked r ON r.bucket = c.bucket AND r.rnk = c.rdraw % s.bucket_n
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.subj = c.subj AND p.pred = c.pred
+                      AND p.obj = r.node))
+SELECT subj, pred, obj, 1 AS label FROM pos
+UNION ALL
+SELECT subj, pred, obj, 0 AS label FROM neg"""
+
+
+@register("graph_embed_negatives", gold_embed_negatives_sql(), driver=False)
+def q_graph_embed_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-embedding training export: every positive triple plus 2
+    deterministically-corrupted filtered negatives (TransE protocol) as
+    (subj, pred, obj, label). The scale trap — a global row_number() over
+    the node table (Exchange SinglePartition) — is avoided by salt-bucketed
+    in-bucket ranking (operators/kg_export.py; plan pinned SinglePartition-
+    free in tests/test_kg_export.py). All draws are md5-keyed, so the
+    oracle reproduces the export exactly and re-runs are byte-identical
+    (resume/backfill-safe training data). Pytest-carried (driver registry
+    is at its 50-entry cap; tests/test_registry_oracles.py replays this
+    against the oracle exactly the way the driver would)."""
+    from .operators.kg_export import embedding_training_export
+
+    return embedding_training_export(_built_edges(spark, sf_dir), k=2, seed=7)
+
+
 # cross-engine edge checksum term: md5-bridge of 'subj|pred|obj', reduced
 # mod M31 so the sum over all edges stays in BIGINT range under ANSI mode
 _EDGE_CK_SPARK = (
