@@ -1,0 +1,216 @@
+"""Distributed KG-embedding training (TransE) — numpy, no torch.
+
+Closes the loop on ``kg_export.corruption_pairs``: train entity/relation
+embeddings on the KG's own triples so downstream consumers get a learned
+representation (link prediction, semantic clustering of addresses/repos)
+from the same engine that built the graph. TransE (Bordes et al., NeurIPS
+2013) is chosen deliberately: its score is a plain L2 norm and its margin-
+ranking gradient is closed-form, so the whole trainer is numpy inside
+Arrow-batched ``mapInPandas`` — no deep-learning runtime, no per-row
+Python.
+
+Execution shape (synchronous data-parallel full-batch GD):
+
+* the (pos, neg) pair table is built once (``corruption_pairs``) and
+  persisted — epochs re-scan it, never the extraction pipeline;
+* each epoch broadcasts the current model (two dense numpy matrices +
+  name→row indices) and runs ONE ``mapInPandas`` pass: every partition
+  scores its pairs, accumulates closed-form hinge gradients into a local
+  dict, and emits one PARTIAL row per touched parameter — map-side
+  combining done by hand, so the shuffle carries O(touched-params × dim),
+  never O(pairs);
+* partials reduce with one ``groupBy(kind, name)`` of per-dimension sums
+  (the only shuffle per epoch), the model-sized result is collected,
+  applied driver-side (SGD step + TransE's unit-ball projection of entity
+  vectors), and re-broadcast.
+
+Scale boundary, stated honestly: the model must fit in one broadcast —
+the standard data-parallel embedding-training ceiling (Spark MLlib makes
+the same trade). Past broadcastable model size you shard parameters
+(parameter-server / per-bucket model partitions); the gradient PASS here
+already scales with data (pairs) arbitrarily, only the model hits the
+ceiling.
+
+Determinism: pair generation and model init are md5-keyed (byte-stable
+across runs); gradient REDUCTION sums float64 partials whose merge order
+Spark doesn't fix, so trained weights are reproducible only up to float
+summation order — tests pin behavior (loss decreases, positives score
+closer than negatives), never bit-identity. Reference parity note: the
+reference service (app/services/ml_model.py) trains a torch tagger, not a
+KG embedding; this operator is part of the Spark-first KG extension
+surface, not a port.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .kg_export import corruption_pairs
+
+
+def _init_vec(kind: str, name: str, dim: int, seed: int) -> np.ndarray:
+    """md5-seeded uniform init in [-0.5/dim, 0.5/dim]^dim — deterministic
+    per (kind, name), independent of driver iteration order."""
+    h = hashlib.md5(f"init:{seed}:{kind}:{name}".encode()).digest()
+    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+    return (rng.rand(dim).astype(np.float64) - 0.5) / dim
+
+
+def init_model(
+    nodes: list[str], preds: list[str], dim: int, seed: int
+) -> dict[str, np.ndarray]:
+    """{'E': nodes×dim, 'R': preds×dim} plus name→row indices. Entity rows
+    are unit-normalized (TransE's constraint)."""
+    E = np.stack([_init_vec("e", n, dim, seed) for n in nodes])
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    R = np.stack([_init_vec("r", p, dim, seed) for p in preds])
+    return {
+        "E": E,
+        "R": R,
+        "e_idx": {n: i for i, n in enumerate(nodes)},
+        "r_idx": {p: i for i, p in enumerate(preds)},
+        "e_names": list(nodes),
+        "r_names": list(preds),
+    }
+
+
+def _epoch_partials(bc_model, margin: float, dim: int):
+    """mapInPandas closure: per partition, score every (pos, neg) pair
+    against the broadcast model, accumulate closed-form margin-ranking
+    gradients per touched parameter, emit ONE partial row per parameter
+    plus one loss row — hand-rolled map-side combine. ``bc_model`` is a
+    SparkContext broadcast (one ship per executor per epoch, not per
+    task)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = bc_model.value
+        E, R = model["E"], model["R"]
+        e_idx, r_idx = model["e_idx"], model["r_idx"]
+        e_names, r_names = model["e_names"], model["r_names"]
+        # dense per-partition gradient accumulators (model fits memory by
+        # construction — same budget as the broadcast itself); scatter-adds
+        # are np.add.at, no per-row Python anywhere
+        gE = np.zeros_like(E)
+        gR = np.zeros_like(R)
+        loss = 0.0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            i_s = pdf["subj"].map(e_idx).to_numpy()
+            i_r = pdf["pred"].map(r_idx).to_numpy()
+            i_o = pdf["obj"].map(e_idx).to_numpy()
+            i_n = pdf["neg_obj"].map(e_idx).to_numpy()
+            dp = E[i_s] + R[i_r] - E[i_o]
+            dn = E[i_s] + R[i_r] - E[i_n]
+            # L2 distances, epsilon-guarded for the d→0 gradient
+            ndp = np.maximum(np.linalg.norm(dp, axis=1), 1e-12)
+            ndn = np.maximum(np.linalg.norm(dn, axis=1), 1e-12)
+            hinge = margin + ndp - ndn
+            act = hinge > 0
+            loss += float(hinge[act].sum())
+            if not act.any():
+                continue
+            up = dp[act] / ndp[act, None]  # ∂ndp/∂(s+r-o)
+            un = dn[act] / ndn[act, None]
+            g_sr = up - un  # ∂hinge/∂s = ∂hinge/∂r
+            np.add.at(gE, i_s[act], g_sr)
+            np.add.at(gR, i_r[act], g_sr)
+            np.add.at(gE, i_o[act], -up)
+            np.add.at(gE, i_n[act], un)
+        te = np.flatnonzero(np.abs(gE).sum(axis=1))
+        tr = np.flatnonzero(np.abs(gR).sum(axis=1))
+        rows = [{"kind": "e", "name": e_names[i], "g": list(gE[i])} for i in te]
+        rows += [{"kind": "r", "name": r_names[i], "g": list(gR[i])} for i in tr]
+        rows.append({"kind": "loss", "name": "", "g": [loss] + [0.0] * (dim - 1)})
+        yield pd.DataFrame(rows, columns=["kind", "name", "g"])
+
+    return fn
+
+
+def train_transe(
+    edges: DataFrame,
+    dim: int = 16,
+    epochs: int = 10,
+    lr: float = 0.1,
+    margin: float = 1.0,
+    k: int = 2,
+    seed: int = 7,
+) -> tuple[DataFrame, list[float]]:
+    """Train TransE embeddings on the KG's triples; returns
+    (embeddings DataFrame (kind, name, vec), per-epoch hinge losses).
+    kind ∈ {'e', 'r'}; entity vectors are unit-norm (projected after every
+    step, per the TransE constraint)."""
+    spark: SparkSession = edges.sparkSession
+    pairs = corruption_pairs(edges, k=k, seed=seed).localCheckpoint()
+    nodes = sorted(
+        r["n"]
+        for r in edges.select(F.col("subj").alias("n"))
+        .unionByName(edges.select(F.col("obj").alias("n")))
+        .distinct()
+        .collect()
+    )  # model-sized collect — the broadcast ceiling documented above
+    preds = sorted(r["pred"] for r in edges.select("pred").distinct().collect())
+    model = init_model(nodes, preds, dim, seed)
+
+    losses: list[float] = []
+    schema = "kind string, name string, g array<double>"
+    dim_sums = [
+        F.sum(F.col("g").getItem(i)).alias(f"g{i}") for i in range(dim)
+    ]
+    for _ in range(epochs):
+        bc = spark.sparkContext.broadcast(model)
+        partials = pairs.mapInPandas(
+            _epoch_partials(bc, margin, dim), schema=schema
+        )
+        reduced = partials.groupBy("kind", "name").agg(*dim_sums).collect()
+        bc.unpersist()
+        epoch_loss = 0.0
+        for row in reduced:
+            g = np.array([row[f"g{i}"] for i in range(dim)])
+            if row["kind"] == "loss":
+                epoch_loss = float(g[0])
+            elif row["kind"] == "e":
+                model["E"][model["e_idx"][row["name"]]] -= lr * g
+            else:
+                model["R"][model["r_idx"][row["name"]]] -= lr * g
+        model["E"] /= np.linalg.norm(model["E"], axis=1, keepdims=True)
+        losses.append(epoch_loss)
+
+    emb = [("e", n, [float(x) for x in model["E"][i]]) for n, i in model["e_idx"].items()]
+    emb += [("r", p, [float(x) for x in model["R"][i]]) for p, i in model["r_idx"].items()]
+    out = spark.createDataFrame(emb, "kind string, name string, vec array<double>")
+    return out, losses
+
+
+def score_triples(
+    triples: DataFrame, embeddings: DataFrame
+) -> DataFrame:
+    """TransE distance ||e_s + r_p − e_o||₂ per (subj, pred, obj) row —
+    lower = more plausible. Pure DataFrame composition: three joins against
+    the embedding table (broadcast — the model fits one broadcast by
+    construction) and a zip_with/aggregate fold, JVM-side end to end."""
+    e = embeddings.filter(F.col("kind") == "e")
+    r = embeddings.filter(F.col("kind") == "r")
+    es = e.select(F.col("name").alias("_sn"), F.col("vec").alias("_s"))
+    rs = r.select(F.col("name").alias("_rn"), F.col("vec").alias("_r"))
+    os_ = e.select(F.col("name").alias("_on"), F.col("vec").alias("_o"))
+    j = (
+        triples.join(F.broadcast(es), F.col("subj") == F.col("_sn"))
+        .join(F.broadcast(rs), F.col("pred") == F.col("_rn"))
+        .join(F.broadcast(os_), F.col("obj") == F.col("_on"))
+    )
+    diff = F.zip_with(
+        F.zip_with(F.col("_s"), F.col("_r"), lambda a, b: a + b),
+        F.col("_o"),
+        lambda a, b: a - b,
+    )
+    dist = F.sqrt(
+        F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return j.select("subj", "pred", "obj", dist.alias("dist"))

@@ -101,14 +101,15 @@ def _bucketed_nodes(edges: DataFrame, seed: int) -> DataFrame:
     return nodes.withColumn("rank", F.row_number().over(w) - F.lit(1))
 
 
-def embedding_training_export(
+def corruption_pairs(
     edges: DataFrame, k: int = 2, seed: int = 7
 ) -> DataFrame:
-    """(subj, pred, obj, label) training rows: label=1 for every distinct
-    positive triple, label=0 for up to ``k`` filtered corrupted-object
-    negatives per positive. Deterministic (md5-keyed) and distributed:
-    negatives explode map-side, node lookup is one equi-join on
-    (bucket, rank), bucket sizes broadcast, and the filter against true
+    """(subj, pred, obj, neg_obj): each distinct positive triple paired with
+    up to ``k`` filtered corrupted objects — the margin-ranking training
+    pairs TransE consumes, and the generator behind
+    :func:`embedding_training_export`. Deterministic (md5-keyed) and
+    distributed: corruptions explode map-side, node lookup is one equi-join
+    on (bucket, rank), bucket sizes broadcast, and the filter against true
     triples is one anti-join."""
     pos = edges.select("subj", "pred", "obj").distinct()
     nodes = _bucketed_nodes(edges, seed)
@@ -128,13 +129,31 @@ def embedding_training_export(
             F.expr(_md5_mod(f"concat('r:', {tkey})", 2**31)) % F.col("bucket_n"),
         )
     )
-    neg = (
+    return (
         cand.join(nodes, ["bucket", "rank"])
-        .select("subj", "pred", F.col("node").alias("obj"))
+        .select("subj", "pred", "obj", F.col("node").alias("neg_obj"))
         # filtered protocol: drop corruptions that are true triples (this
-        # also drops obj == original-obj collisions); then distinct — two
-        # draws of one positive may corrupt to the same node
-        .join(pos, ["subj", "pred", "obj"], "left_anti")
+        # also drops neg_obj == obj collisions); then distinct — two draws
+        # of one positive may corrupt to the same node
+        .join(
+            pos.select("subj", "pred", F.col("obj").alias("neg_obj")),
+            ["subj", "pred", "neg_obj"],
+            "left_anti",
+        )
+        .distinct()
+    )
+
+
+def embedding_training_export(
+    edges: DataFrame, k: int = 2, seed: int = 7
+) -> DataFrame:
+    """(subj, pred, obj, label) training rows: label=1 for every distinct
+    positive triple, label=0 for up to ``k`` filtered corrupted-object
+    negatives per positive (the :func:`corruption_pairs` set, flattened)."""
+    pos = edges.select("subj", "pred", "obj").distinct()
+    neg = (
+        corruption_pairs(edges, k=k, seed=seed)
+        .select("subj", "pred", F.col("neg_obj").alias("obj"))
         .distinct()
         .withColumn("label", F.lit(0))
     )

@@ -43,6 +43,13 @@ edge stage.
 N deterministic hash shards (one file each, per-shard doc/BPE-token
 manifest) with a printed round-trip completeness check.
 
+``--embed DIM,EPOCHS`` trains TransE KG embeddings on the built edge
+stage (numpy mapInPandas gradient pass, one groupBy reduce + model
+broadcast per epoch), writes (kind, name, vec) under
+``<warehouse>/kg_embeddings``, prints the loss-curve endpoints and the
+trained positive-vs-corrupted-negative mean-distance separation, and
+fails the job if the hinge loss did not decrease.
+
 ``--hygiene`` runs the training-data HYGIENE stage over the corpus:
 Unicode NFC canonicalization first (content-keyed stages hash bytes), PII
 redaction with a zero-residual gate (the job fails if any pattern still
@@ -162,6 +169,15 @@ def main() -> int:
              "min(QUOTA, group size) exactly")
     ap.add_argument("--quota-group", default="repo",
                     help="group column for --quota-sample (default repo)")
+    ap.add_argument(
+        "--embed", metavar="DIM,EPOCHS",
+        help="train TransE KG embeddings on the built edge stage (numpy "
+             "mapInPandas gradient pass + one groupBy reduce per epoch; "
+             "model broadcast per epoch), write (kind, name, vec) under "
+             "<warehouse>/kg_embeddings, print the loss curve endpoints "
+             "and the trained pos-vs-corrupted-neg mean-distance "
+             "separation, and FAIL the job if the hinge loss did not "
+             "decrease (a non-learning run is a broken run)")
     ap.add_argument(
         "--integrity-gate", action="store_true",
         help="run the eight-invariant KG integrity report (dangling "
@@ -574,6 +590,40 @@ def main() -> int:
         print(f"integrity_gate: {'CLEAN' if n_viol == 0 else 'VIOLATED'} "
               f"({detail})")
         if n_viol > 0:
+            ok = False
+    if args.embed:
+        from pyspark.sql import functions as F
+
+        from extract_address_ner_spark.operators.kg_embed import (
+            score_triples,
+            train_transe,
+        )
+        from extract_address_ner_spark.operators.kg_export import (
+            corruption_pairs,
+        )
+
+        try:
+            e_dim, e_epochs = (int(x) for x in args.embed.split(","))
+        except ValueError:
+            ap.error("--embed expects DIM,EPOCHS (e.g. 16,10)")
+        emb, losses = train_transe(
+            out["edges"], dim=e_dim, epochs=e_epochs, seed=7
+        )
+        emb.write.mode("overwrite").parquet(f"{args.warehouse}/kg_embeddings")
+        pos = out["edges"].select("subj", "pred", "obj").distinct()
+        neg = corruption_pairs(out["edges"], k=2, seed=7).select(
+            "subj", "pred", F.col("neg_obj").alias("obj")
+        )
+        dp = score_triples(pos, emb).agg(F.avg("dist")).collect()[0][0]
+        dn = score_triples(neg, emb).agg(F.avg("dist")).collect()[0][0]
+        learned = losses[-1] < losses[0]
+        print(
+            f"embed: dim={e_dim} epochs={e_epochs} "
+            f"loss {losses[0]:.3f} -> {losses[-1]:.3f} "
+            f"pos_dist={dp:.4f} neg_dist={dn:.4f} "
+            f"{'LEARNED' if learned else 'NOT-LEARNING'}"
+        )
+        if not learned:
             ok = False
     if args.eval_gold:
         gold = spark.read.parquet(args.eval_gold)

@@ -152,6 +152,17 @@ def test_job_entry_integrity_gate(tmp_path):
         assert f"{check}=0" in stdout
 
 
+def test_job_entry_embed(tmp_path):
+    """Round-5: the shipped job's --embed stage trains TransE embeddings on
+    the built edge stage, writes the (kind, name, vec) table under the
+    warehouse, and gates on the hinge loss actually decreasing (training
+    behavior itself is pinned at operator level in tests/test_kg_embed.py)."""
+    stdout = _run_job(tmp_path, ["--master", "local[2]", "--embed", "8,6"])
+    assert "embed: dim=8 epochs=6" in stdout
+    assert "LEARNED" in stdout and "NOT-LEARNING" not in stdout
+    assert (tmp_path / "wh" / "kg_embeddings").exists()
+
+
 def test_job_entry_hygiene(tmp_path):
     """Late round-5: the shipped job runs the training-data hygiene stage —
     PII redaction with a zero-residual gate, eval-set 5-gram

@@ -1,0 +1,92 @@
+"""Distributed TransE trainer (operators/kg_embed.py).
+
+Behavioral pins only — the gradient REDUCTION sums float64 partials whose
+merge order Spark doesn't fix, so bit-identity across runs is out of
+contract (documented in the module docstring); what must hold: the hinge
+loss falls, trained positives score strictly closer than corrupted
+negatives, the TransE entity-norm constraint holds, and the scoring path
+is a pure JVM-side DataFrame composition.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from extract_address_ner_spark.operators.kg_embed import (
+    score_triples,
+    train_transe,
+)
+from extract_address_ner_spark.operators.kg_export import corruption_pairs
+
+EDGE_SCHEMA = "subj string, pred string, obj string, confidence double"
+
+
+def _planted_edges(spark):
+    """Two disjoint predicate 'clusters' + a hierarchy chain — enough
+    structure that TransE separates true from corrupted triples."""
+    rows = []
+    for i in range(8):
+        rows.append((f"file{i}", "mentions", f"addr{i % 4}", 0.9))
+    for i in range(4):
+        rows.append((f"addr{i}", "located_in", f"region{i % 2}", 1.0))
+    rows.append(("region0", "located_in", "root", 1.0))
+    rows.append(("region1", "located_in", "root", 1.0))
+    return spark.createDataFrame(rows, EDGE_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    edges = _planted_edges(spark)
+    emb, losses = train_transe(
+        edges, dim=8, epochs=12, lr=0.08, margin=1.0, k=2, seed=7
+    )
+    return edges, emb.cache(), losses
+
+
+def test_loss_decreases(trained):
+    _, _, losses = trained
+    assert len(losses) == 12
+    assert losses[-1] < losses[0] * 0.8  # ≥20% drop over training
+    assert min(losses) >= 0.0  # hinge is non-negative
+
+
+def test_positives_score_closer_than_negatives(trained):
+    edges, emb, _ = trained
+    pos = edges.select("subj", "pred", "obj").distinct()
+    neg = corruption_pairs(edges, k=2, seed=7).select(
+        "subj", "pred", F.col("neg_obj").alias("obj")
+    )
+    dp = score_triples(pos, emb).agg(F.avg("dist")).collect()[0][0]
+    dn = score_triples(neg, emb).agg(F.avg("dist")).collect()[0][0]
+    assert dp < dn, f"trained positives not closer: pos {dp} vs neg {dn}"
+    # and by a real margin, not float noise
+    assert dn - dp > 0.2
+
+
+def test_entity_norm_constraint_and_coverage(trained):
+    edges, emb, _ = trained
+    ent = emb.filter(F.col("kind") == "e")
+    norms = [
+        float(np.linalg.norm(r["vec"])) for r in ent.collect()
+    ]
+    assert all(abs(n - 1.0) < 1e-9 for n in norms)
+    n_nodes = (
+        edges.select(F.col("subj").alias("n"))
+        .unionByName(edges.select(F.col("obj").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert ent.count() == n_nodes
+    assert emb.filter(F.col("kind") == "r").count() == 2  # two predicates
+
+
+def test_score_plan_is_jvm_side_broadcast(trained):
+    """Scoring is built-ins over broadcast joins — no Python eval, no
+    shuffle joins against the model."""
+    edges, emb, _ = trained
+    pos = edges.select("subj", "pred", "obj").distinct()
+    plan = score_triples(pos, emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
