@@ -188,6 +188,67 @@ def train_transe(
     return out, losses
 
 
+def predict_links(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    filter_known: DataFrame | None = None,
+) -> DataFrame:
+    """(subj, pred, obj, rank, score): top-k link prediction — for each
+    (subj, pred) query row, the k most TransE-plausible objects. Entity
+    vectors are unit-norm (train_transe projects them), so ranking by the
+    dot product target·candidate is EXACTLY the TransE L2 ranking
+    (||t−o||² = ||t||² + 1 − 2·t·o for fixed target t = e_s + r_p) — which
+    also means the at-scale path is the engine's own ANN serving (ivf_topk
+    over the entity table with t as the query vector) instead of this
+    exact exhaustive scan. ``filter_known`` (typically the edge table)
+    enables the standard FILTERED ranking protocol: known-true objects are
+    removed from the candidate list before ranking. Deterministic ranking:
+    (score 6dp desc, obj asc)."""
+    from pyspark.sql import Window
+
+    e = embeddings.filter(F.col("kind") == "e")
+    es = e.select(F.col("name").alias("subj"), F.col("vec").alias("_ev"))
+    rs = (
+        embeddings.filter(F.col("kind") == "r")
+        .select(F.col("name").alias("pred"), F.col("vec").alias("_rv"))
+    )
+    q = (
+        queries.select("subj", "pred")
+        .distinct()
+        .join(F.broadcast(es), "subj")
+        .join(F.broadcast(rs), "pred")
+        .withColumn("_qv", F.zip_with("_ev", "_rv", lambda a, b: a + b))
+        .select("subj", "pred", "_qv")
+    )
+    cand = e.select(F.col("name").alias("obj"), F.col("vec").alias("_cv"))
+    scored = cand.crossJoin(F.broadcast(q)).withColumn(
+        "score",
+        F.round(
+            F.aggregate(
+                F.zip_with("_qv", "_cv", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).cast("double"),
+    )
+    if filter_known is not None:
+        scored = scored.join(
+            filter_known.select("subj", "pred", "obj"),
+            ["subj", "pred", "obj"],
+            "left_anti",
+        )
+    w = Window.partitionBy("subj", "pred").orderBy(
+        F.desc("score"), F.asc("obj")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("subj", "pred", "obj", "rank", "score")
+    )
+
+
 def score_triples(
     triples: DataFrame, embeddings: DataFrame
 ) -> DataFrame:
