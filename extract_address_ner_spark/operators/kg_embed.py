@@ -137,50 +137,77 @@ def train_transe(
     edges: DataFrame,
     dim: int = 16,
     epochs: int = 10,
-    lr: float = 0.1,
+    lr: float = 2.0,
     margin: float = 1.0,
     k: int = 2,
     seed: int = 7,
+    pairs: DataFrame | None = None,
 ) -> tuple[DataFrame, list[float]]:
     """Train TransE embeddings on the KG's triples; returns
-    (embeddings DataFrame (kind, name, vec), per-epoch hinge losses).
+    (embeddings DataFrame (kind, name, vec), per-epoch MEAN hinge losses).
     kind ∈ {'e', 'r'}; entity vectors are unit-norm (projected after every
-    step, per the TransE constraint)."""
+    step, per the TransE constraint). Gradients are normalized by the pair
+    count (mean-loss full-batch GD), so the step size — and therefore the
+    default ``lr`` — is independent of corpus size; without the
+    normalization a hub entity's step would grow with its degree and the
+    fixed lr would diverge at scale. ``pairs`` lets a caller supply (and
+    manage the persistence of) a precomputed ``corruption_pairs`` table —
+    e.g. the job reuses it for the post-training separation report; when
+    None it is built, persisted, and released here. Raises ``ValueError``
+    on an empty edge set or an empty (fully-filtered) pair set — a
+    no-op training run should fail loudly, not emit garbage."""
     spark: SparkSession = edges.sparkSession
-    pairs = corruption_pairs(edges, k=k, seed=seed).localCheckpoint()
-    nodes = sorted(
-        r["n"]
-        for r in edges.select(F.col("subj").alias("n"))
-        .unionByName(edges.select(F.col("obj").alias("n")))
-        .distinct()
-        .collect()
-    )  # model-sized collect — the broadcast ceiling documented above
-    preds = sorted(r["pred"] for r in edges.select("pred").distinct().collect())
-    model = init_model(nodes, preds, dim, seed)
-
-    losses: list[float] = []
-    schema = "kind string, name string, g array<double>"
-    dim_sums = [
-        F.sum(F.col("g").getItem(i)).alias(f"g{i}") for i in range(dim)
-    ]
-    for _ in range(epochs):
-        bc = spark.sparkContext.broadcast(model)
-        partials = pairs.mapInPandas(
-            _epoch_partials(bc, margin, dim), schema=schema
+    own_pairs = pairs is None
+    if own_pairs:
+        pairs = corruption_pairs(edges, k=k, seed=seed).persist()
+    try:
+        n_pairs = pairs.count()
+        if n_pairs == 0:
+            raise ValueError(
+                "train_transe: no training pairs — every corruption was "
+                "filtered as a true triple (degenerate/dense graph?)"
+            )
+        nodes = sorted(
+            r["n"]
+            for r in edges.select(F.col("subj").alias("n"))
+            .unionByName(edges.select(F.col("obj").alias("n")))
+            .distinct()
+            .collect()
+        )  # model-sized collect — the broadcast ceiling documented above
+        preds = sorted(
+            r["pred"] for r in edges.select("pred").distinct().collect()
         )
-        reduced = partials.groupBy("kind", "name").agg(*dim_sums).collect()
-        bc.unpersist()
-        epoch_loss = 0.0
-        for row in reduced:
-            g = np.array([row[f"g{i}"] for i in range(dim)])
-            if row["kind"] == "loss":
-                epoch_loss = float(g[0])
-            elif row["kind"] == "e":
-                model["E"][model["e_idx"][row["name"]]] -= lr * g
-            else:
-                model["R"][model["r_idx"][row["name"]]] -= lr * g
-        model["E"] /= np.linalg.norm(model["E"], axis=1, keepdims=True)
-        losses.append(epoch_loss)
+        if not nodes or not preds:
+            raise ValueError("train_transe: empty edge set")
+        model = init_model(nodes, preds, dim, seed)
+
+        losses: list[float] = []
+        schema = "kind string, name string, g array<double>"
+        dim_sums = [
+            F.sum(F.col("g").getItem(i)).alias(f"g{i}") for i in range(dim)
+        ]
+        step = lr / n_pairs
+        for _ in range(epochs):
+            bc = spark.sparkContext.broadcast(model)
+            partials = pairs.mapInPandas(
+                _epoch_partials(bc, margin, dim), schema=schema
+            )
+            reduced = partials.groupBy("kind", "name").agg(*dim_sums).collect()
+            bc.unpersist()
+            epoch_loss = 0.0
+            for row in reduced:
+                g = np.array([row[f"g{i}"] for i in range(dim)])
+                if row["kind"] == "loss":
+                    epoch_loss = float(g[0]) / n_pairs
+                elif row["kind"] == "e":
+                    model["E"][model["e_idx"][row["name"]]] -= step * g
+                else:
+                    model["R"][model["r_idx"][row["name"]]] -= step * g
+            model["E"] /= np.linalg.norm(model["E"], axis=1, keepdims=True)
+            losses.append(epoch_loss)
+    finally:
+        if own_pairs:
+            pairs.unpersist()
 
     emb = [("e", n, [float(x) for x in model["E"][i]]) for n, i in model["e_idx"].items()]
     emb += [("r", p, [float(x) for x in model["R"][i]]) for p, i in model["r_idx"].items()]
@@ -204,7 +231,11 @@ def predict_links(
     exact exhaustive scan. ``filter_known`` (typically the edge table)
     enables the standard FILTERED ranking protocol: known-true objects are
     removed from the candidate list before ranking. Deterministic ranking:
-    (score 6dp desc, obj asc)."""
+    (score 6dp desc, obj asc). Query rows whose subj or pred has NO
+    embedding are dropped by the inner joins — an unknown entity yields
+    zero result rows, indistinguishable from "no candidates"; callers that
+    must tell the two apart should anti-join their queries against the
+    embedding table first."""
     from pyspark.sql import Window
 
     e = embeddings.filter(F.col("kind") == "e")

@@ -190,6 +190,14 @@ def main() -> int:
         ap.error("one of --corpus / --synthesize is required")
     if args.master and args.local_cluster:
         ap.error("--master and --local-cluster are mutually exclusive")
+    embed_dim = embed_epochs = None
+    if args.embed:  # validate BEFORE the pipeline runs, not hours into it
+        try:
+            embed_dim, embed_epochs = (int(x) for x in args.embed.split(","))
+        except ValueError:
+            ap.error("--embed expects DIM,EPOCHS (e.g. 16,10)")
+        if embed_dim < 1 or embed_epochs < 1:
+            ap.error("--embed DIM and EPOCHS must be >= 1")
 
     master, extra_conf = args.master, {}
     if args.local_cluster:
@@ -602,23 +610,28 @@ def main() -> int:
             corruption_pairs,
         )
 
+        # pairs built ONCE (persisted), shared between the training epochs
+        # and the separation report below; released at stage end
+        pairs = corruption_pairs(out["edges"], k=2, seed=7).persist()
         try:
-            e_dim, e_epochs = (int(x) for x in args.embed.split(","))
-        except ValueError:
-            ap.error("--embed expects DIM,EPOCHS (e.g. 16,10)")
-        emb, losses = train_transe(
-            out["edges"], dim=e_dim, epochs=e_epochs, seed=7
-        )
-        emb.write.mode("overwrite").parquet(f"{args.warehouse}/kg_embeddings")
-        pos = out["edges"].select("subj", "pred", "obj").distinct()
-        neg = corruption_pairs(out["edges"], k=2, seed=7).select(
-            "subj", "pred", F.col("neg_obj").alias("obj")
-        )
-        dp = score_triples(pos, emb).agg(F.avg("dist")).collect()[0][0]
-        dn = score_triples(neg, emb).agg(F.avg("dist")).collect()[0][0]
+            emb, losses = train_transe(
+                out["edges"], dim=embed_dim, epochs=embed_epochs, seed=7,
+                pairs=pairs,
+            )
+            emb.write.mode("overwrite").parquet(
+                f"{args.warehouse}/kg_embeddings"
+            )
+            pos = out["edges"].select("subj", "pred", "obj").distinct()
+            neg = pairs.select(
+                "subj", "pred", F.col("neg_obj").alias("obj")
+            )
+            dp = score_triples(pos, emb).agg(F.avg("dist")).collect()[0][0]
+            dn = score_triples(neg, emb).agg(F.avg("dist")).collect()[0][0]
+        finally:
+            pairs.unpersist()
         learned = losses[-1] < losses[0]
         print(
-            f"embed: dim={e_dim} epochs={e_epochs} "
+            f"embed: dim={embed_dim} epochs={embed_epochs} "
             f"loss {losses[0]:.3f} -> {losses[-1]:.3f} "
             f"pos_dist={dp:.4f} neg_dist={dn:.4f} "
             f"{'LEARNED' if learned else 'NOT-LEARNING'}"

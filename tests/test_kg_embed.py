@@ -38,7 +38,7 @@ def _planted_edges(spark):
 def trained(spark):
     edges = _planted_edges(spark)
     emb, losses = train_transe(
-        edges, dim=8, epochs=12, lr=0.08, margin=1.0, k=2, seed=7
+        edges, dim=8, epochs=12, lr=2.0, margin=1.0, k=2, seed=7
     )
     return edges, emb.cache(), losses
 
@@ -108,6 +108,15 @@ def test_link_prediction_ranks_true_objects(trained):
         if truth.get((r["subj"], r["pred"])) == r["obj"]
     ]
     assert leaks == []
+
+
+def test_degenerate_graph_fails_loudly(spark):
+    """A complete digraph (with self-loops) filters EVERY corruption as a
+    true triple — training on zero pairs must raise, not emit garbage."""
+    rows = [(s, "p", o, 1.0) for s in "ab" for o in "ab"]
+    edges = spark.createDataFrame(rows, EDGE_SCHEMA)
+    with pytest.raises(ValueError, match="no training pairs"):
+        train_transe(edges, dim=4, epochs=1)
 
 
 def test_score_plan_is_jvm_side_broadcast(trained):
