@@ -160,6 +160,7 @@ def train_transe(
     own_pairs = pairs is None
     if own_pairs:
         pairs = corruption_pairs(edges, k=k, seed=seed).persist()
+    train_pairs = None
     try:
         n_pairs = pairs.count()
         if n_pairs == 0:
@@ -181,6 +182,25 @@ def train_transe(
             raise ValueError("train_transe: empty edge set")
         model = init_model(nodes, preds, dim, seed)
 
+        # Partition budget for the gradient pass: each partition emits up
+        # to min(its rows, n_params) partial rows, so with small/dense
+        # partitions the per-epoch reduce volume grows ∝ partitions ×
+        # params and MORE parallelism means MORE shuffle (measured: a
+        # 32-way pass emitted 4× the partials of an 8-way pass on the
+        # same pairs and ran slower). Cap partitions so each holds ≥ ~2×
+        # n_params pairs — the point where map-side combining actually
+        # combines — bounded by the session's parallelism.
+        n_params = len(nodes) + len(preds)
+        n_part = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                n_pairs // max(1, 2 * n_params),
+            ),
+        )
+        train_pairs = pairs.repartition(n_part).persist()
+        train_pairs.count()
+
         losses: list[float] = []
         schema = "kind string, name string, g array<double>"
         dim_sums = [
@@ -189,7 +209,7 @@ def train_transe(
         step = lr / n_pairs
         for _ in range(epochs):
             bc = spark.sparkContext.broadcast(model)
-            partials = pairs.mapInPandas(
+            partials = train_pairs.mapInPandas(
                 _epoch_partials(bc, margin, dim), schema=schema
             )
             reduced = partials.groupBy("kind", "name").agg(*dim_sums).collect()
@@ -206,6 +226,8 @@ def train_transe(
             model["E"] /= np.linalg.norm(model["E"], axis=1, keepdims=True)
             losses.append(epoch_loss)
     finally:
+        if train_pairs is not None:
+            train_pairs.unpersist()
         if own_pairs:
             pairs.unpersist()
 
