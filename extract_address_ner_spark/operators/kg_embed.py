@@ -302,6 +302,90 @@ def predict_links(
     )
 
 
+def evaluate_link_prediction(
+    embeddings: DataFrame,
+    test_edges: DataFrame,
+    all_edges: DataFrame,
+    ks: tuple[int, ...] = (1, 3, 10),
+) -> DataFrame:
+    """One-row (n_queries, mrr, hits_1, hits_3, hits_10): the standard
+    FILTERED link-prediction evaluation (Bordes et al.) — for every test
+    triple, the TransE rank of the true object among all entities, with
+    OTHER known-true objects for the same (subj, pred) removed from the
+    candidate list (the test triple itself stays). Fully distributed: no
+    per-query sort and no top-k window — the rank is computed as
+    1 + count(candidates scoring strictly better, score ties broken by
+    object name), i.e. one candidates×queries broadcast score pass, one
+    per-query true-score aggregate, one comparison aggregate. 6dp score
+    rounding keeps the better-than comparison deterministic across float
+    summation orders."""
+    e = embeddings.filter(F.col("kind") == "e")
+    es = e.select(F.col("name").alias("subj"), F.col("vec").alias("_ev"))
+    rs = (
+        embeddings.filter(F.col("kind") == "r")
+        .select(F.col("name").alias("pred"), F.col("vec").alias("_rv"))
+    )
+    q = (
+        test_edges.select("subj", "pred", F.col("obj").alias("true_obj"))
+        .distinct()
+        .join(F.broadcast(es), "subj")
+        .join(F.broadcast(rs), "pred")
+        .withColumn("_qv", F.zip_with("_ev", "_rv", lambda a, b: a + b))
+        .select("subj", "pred", "true_obj", "_qv")
+    )
+    cand = e.select(F.col("name").alias("obj"), F.col("vec").alias("_cv"))
+    scored = cand.crossJoin(F.broadcast(q)).withColumn(
+        "score",
+        F.round(
+            F.aggregate(
+                F.zip_with("_qv", "_cv", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).cast("double"),
+    ).select("subj", "pred", "true_obj", "obj", "score")
+    # filtered protocol: drop candidates that are known-true for this
+    # (subj, pred) — EXCEPT the test triple's own object
+    known = all_edges.select("subj", "pred", "obj").distinct().withColumn(
+        "_known", F.lit(True)
+    )
+    scored = (
+        scored.join(known, ["subj", "pred", "obj"], "left")
+        .filter(
+            F.col("_known").isNull() | (F.col("obj") == F.col("true_obj"))
+        )
+        .drop("_known")
+    )
+    s_true = scored.filter(F.col("obj") == F.col("true_obj")).select(
+        "subj", "pred", "true_obj", F.col("score").alias("_s_true")
+    )
+    better = (
+        F.col("score") > F.col("_s_true")
+    ) | (
+        (F.col("score") == F.col("_s_true"))
+        & (F.col("obj") < F.col("true_obj"))
+    )
+    ranks = (
+        scored.join(F.broadcast(s_true), ["subj", "pred", "true_obj"])
+        .groupBy("subj", "pred", "true_obj")
+        .agg(
+            (F.lit(1) + F.sum(F.when(better, 1).otherwise(0))).alias("rank")
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg(F.lit(1.0) / F.col("rank")), 4).alias("mrr"),
+    ]
+    for kk in ks:
+        aggs.append(
+            F.round(
+                F.avg(F.when(F.col("rank") <= kk, 1.0).otherwise(0.0)), 4
+            ).alias(f"hits_{kk}")
+        )
+    return ranks.agg(*aggs)
+
+
 def score_triples(
     triples: DataFrame, embeddings: DataFrame
 ) -> DataFrame:

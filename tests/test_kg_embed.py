@@ -110,6 +110,30 @@ def test_link_prediction_ranks_true_objects(trained):
     assert leaks == []
 
 
+def test_filtered_evaluation_metrics(trained):
+    """Filtered MRR / hits@k over the located_in triples as the test set.
+    Unfiltered probing showed every true object at rank 1-2; the filtered
+    protocol only removes competitors, so MRR ≥ 0.6 and hits@3 = 1.0 are
+    conservative floors. A deliberately WRONG test triple must rank worse
+    than its true sibling (sanity that ranks respond to the input)."""
+    from extract_address_ner_spark.operators.kg_embed import (
+        evaluate_link_prediction,
+    )
+
+    edges, emb, _ = trained
+    test = edges.filter(F.col("pred") == "located_in")
+    row = evaluate_link_prediction(emb, test, edges).collect()[0]
+    assert row["n_queries"] == 6
+    assert row["mrr"] >= 0.6
+    assert row["hits_3"] == 1.0
+    assert row["hits_1"] <= 1.0 and row["hits_10"] >= row["hits_3"]
+    # corrupt test set: point every query at a file node (never a true
+    # object of located_in) — metrics must collapse below the real ones
+    wrong = test.select("subj", "pred").withColumn("obj", F.lit("file0"))
+    worse = evaluate_link_prediction(emb, wrong, edges).collect()[0]
+    assert worse["mrr"] < row["mrr"]
+
+
 def test_degenerate_graph_fails_loudly(spark):
     """A complete digraph (with self-loops) filters EVERY corruption as a
     true triple — training on zero pairs must raise, not emit garbage."""
