@@ -189,17 +189,20 @@ def train_transe(
         # 32-way pass emitted 4× the partials of an 8-way pass on the
         # same pairs and ran slower). Cap partitions so each holds ≥ ~2×
         # n_params pairs — the point where map-side combining actually
-        # combines — bounded by the session's parallelism.
+        # combines — bounded by the session's parallelism, with a floor
+        # of 4 partitions so a pairs-poor/params-rich graph degrades the
+        # combine (tens of MB of extra partials) rather than serializing
+        # the whole epoch's compute onto one core.
         n_params = len(nodes) + len(preds)
-        n_part = max(
-            1,
-            min(
-                spark.sparkContext.defaultParallelism,
-                n_pairs // max(1, 2 * n_params),
-            ),
-        )
+        dp = spark.sparkContext.defaultParallelism
+        n_part = min(dp, max(min(dp, 4), n_pairs // max(1, 2 * n_params)))
         train_pairs = pairs.repartition(n_part).persist()
         train_pairs.count()
+        if own_pairs:
+            # train_pairs now holds the materialized data — drop the
+            # pre-repartition copy instead of caching the table twice
+            pairs.unpersist()
+            own_pairs = False
 
         losses: list[float] = []
         schema = "kind string, name string, g array<double>"
@@ -237,6 +240,42 @@ def train_transe(
     return out, losses
 
 
+def _score_candidates(embeddings: DataFrame, queries: DataFrame) -> DataFrame:
+    """The ONE scoring definition serving and evaluation share: every
+    entity candidate scored against every query's target t = e_s + r_p by
+    the rounded dot product (≡ TransE L2 ranking over unit-norm
+    candidates). Input: distinct rows with at least (subj, pred); extra
+    columns pass through. Output: input columns + (obj, score). Query
+    rows whose subj/pred lack an embedding drop out via the inner
+    joins."""
+    e = embeddings.filter(F.col("kind") == "e")
+    es = e.select(F.col("name").alias("subj"), F.col("vec").alias("_ev"))
+    rs = (
+        embeddings.filter(F.col("kind") == "r")
+        .select(F.col("name").alias("pred"), F.col("vec").alias("_rv"))
+    )
+    passthrough = [c for c in queries.columns]
+    q = (
+        queries.distinct()
+        .join(F.broadcast(es), "subj")
+        .join(F.broadcast(rs), "pred")
+        .withColumn("_qv", F.zip_with("_ev", "_rv", lambda a, b: a + b))
+        .select(*passthrough, "_qv")
+    )
+    cand = e.select(F.col("name").alias("obj"), F.col("vec").alias("_cv"))
+    return cand.crossJoin(F.broadcast(q)).withColumn(
+        "score",
+        F.round(
+            F.aggregate(
+                F.zip_with("_qv", "_cv", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).cast("double"),
+    ).select(*passthrough, "obj", "score")
+
+
 def predict_links(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -260,32 +299,7 @@ def predict_links(
     embedding table first."""
     from pyspark.sql import Window
 
-    e = embeddings.filter(F.col("kind") == "e")
-    es = e.select(F.col("name").alias("subj"), F.col("vec").alias("_ev"))
-    rs = (
-        embeddings.filter(F.col("kind") == "r")
-        .select(F.col("name").alias("pred"), F.col("vec").alias("_rv"))
-    )
-    q = (
-        queries.select("subj", "pred")
-        .distinct()
-        .join(F.broadcast(es), "subj")
-        .join(F.broadcast(rs), "pred")
-        .withColumn("_qv", F.zip_with("_ev", "_rv", lambda a, b: a + b))
-        .select("subj", "pred", "_qv")
-    )
-    cand = e.select(F.col("name").alias("obj"), F.col("vec").alias("_cv"))
-    scored = cand.crossJoin(F.broadcast(q)).withColumn(
-        "score",
-        F.round(
-            F.aggregate(
-                F.zip_with("_qv", "_cv", lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ).cast("double"),
-    )
+    scored = _score_candidates(embeddings, queries.select("subj", "pred"))
     if filter_known is not None:
         scored = scored.join(
             filter_known.select("subj", "pred", "obj"),
@@ -308,50 +322,39 @@ def evaluate_link_prediction(
     all_edges: DataFrame,
     ks: tuple[int, ...] = (1, 3, 10),
 ) -> DataFrame:
-    """One-row (n_queries, mrr, hits_1, hits_3, hits_10): the standard
-    FILTERED link-prediction evaluation (Bordes et al.) — for every test
-    triple, the TransE rank of the true object among all entities, with
-    OTHER known-true objects for the same (subj, pred) removed from the
-    candidate list (the test triple itself stays). Fully distributed: no
-    per-query sort and no top-k window — the rank is computed as
-    1 + count(candidates scoring strictly better, score ties broken by
-    object name), i.e. one candidates×queries broadcast score pass, one
-    per-query true-score aggregate, one comparison aggregate. 6dp score
-    rounding keeps the better-than comparison deterministic across float
-    summation orders."""
-    e = embeddings.filter(F.col("kind") == "e")
-    es = e.select(F.col("name").alias("subj"), F.col("vec").alias("_ev"))
-    rs = (
-        embeddings.filter(F.col("kind") == "r")
-        .select(F.col("name").alias("pred"), F.col("vec").alias("_rv"))
-    )
-    q = (
-        test_edges.select("subj", "pred", F.col("obj").alias("true_obj"))
-        .distinct()
-        .join(F.broadcast(es), "subj")
-        .join(F.broadcast(rs), "pred")
-        .withColumn("_qv", F.zip_with("_ev", "_rv", lambda a, b: a + b))
-        .select("subj", "pred", "true_obj", "_qv")
-    )
-    cand = e.select(F.col("name").alias("obj"), F.col("vec").alias("_cv"))
-    scored = cand.crossJoin(F.broadcast(q)).withColumn(
-        "score",
-        F.round(
-            F.aggregate(
-                F.zip_with("_qv", "_cv", lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ).cast("double"),
-    ).select("subj", "pred", "true_obj", "obj", "score")
+    """One-row (n_queries, n_unrankable, mrr, hits_1, hits_3, hits_10):
+    the standard FILTERED link-prediction evaluation (Bordes et al.) —
+    for every distinct test triple, the TransE rank of the true object
+    among all entities, with OTHER known-true objects for the same
+    (subj, pred) removed from the candidate list (the test triple itself
+    stays). A test triple whose subj/pred/obj has no embedding cannot be
+    ranked; the protocol-correct treatment is a MISS, so such queries
+    count in every denominator (reciprocal rank 0, no hits) and are
+    reported in ``n_unrankable`` rather than silently inflating the
+    metrics. Fully distributed: no per-query sort and no top-k window —
+    rank = 1 + count(candidates scoring strictly better, ties broken by
+    object name); the filtered-out set is pre-joined down to the test
+    queries' (subj, pred) keys (bounded by n_queries × out-degree, then
+    broadcast), so the big candidates×queries table never shuffles. 6dp
+    score rounding keeps the better-than comparison deterministic across
+    float summation orders."""
+    test = test_edges.select(
+        "subj", "pred", F.col("obj").alias("true_obj")
+    ).distinct()
+    scored = _score_candidates(embeddings, test)
     # filtered protocol: drop candidates that are known-true for this
-    # (subj, pred) — EXCEPT the test triple's own object
-    known = all_edges.select("subj", "pred", "obj").distinct().withColumn(
-        "_known", F.lit(True)
+    # (subj, pred) — EXCEPT the test triple's own object. `known` is cut
+    # down to the test queries' keys BEFORE touching the scored table, so
+    # it broadcasts and the n_entities × n_queries side stays map-side.
+    known = (
+        all_edges.select("subj", "pred", "obj")
+        .join(test.select("subj", "pred").distinct(), ["subj", "pred"],
+              "left_semi")
+        .distinct()
+        .withColumn("_known", F.lit(True))
     )
     scored = (
-        scored.join(known, ["subj", "pred", "obj"], "left")
+        scored.join(F.broadcast(known), ["subj", "pred", "obj"], "left")
         .filter(
             F.col("_known").isNull() | (F.col("obj") == F.col("true_obj"))
         )
@@ -373,17 +376,39 @@ def evaluate_link_prediction(
             (F.lit(1) + F.sum(F.when(better, 1).otherwise(0))).alias("rank")
         )
     )
+    # denominators over the FULL test set: unrankable queries (subj/pred/
+    # true_obj without an embedding dropped by the scoring joins) score 0
+    totals = test.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     aggs = [
-        F.count(F.lit(1)).cast("long").alias("n_queries"),
-        F.round(F.avg(F.lit(1.0) / F.col("rank")), 4).alias("mrr"),
+        F.count(F.lit(1)).cast("long").alias("_n_ranked"),
+        F.sum(F.lit(1.0) / F.col("rank")).alias("_rr_sum"),
     ]
     for kk in ks:
         aggs.append(
+            F.sum(F.when(F.col("rank") <= kk, 1.0).otherwise(0.0)).alias(
+                f"_h{kk}"
+            )
+        )
+    out = ranks.agg(*aggs).crossJoin(F.broadcast(totals))
+    # greatest(n, 1): an empty test set reports zero metrics instead of an
+    # ANSI-mode divide-by-zero error
+    denom = F.greatest(F.col("n_queries"), F.lit(1))
+    cols = [
+        F.col("n_queries"),
+        (F.col("n_queries") - F.col("_n_ranked")).cast("long").alias(
+            "n_unrankable"
+        ),
+        F.round(
+            F.coalesce(F.col("_rr_sum"), F.lit(0.0)) / denom, 4
+        ).alias("mrr"),
+    ]
+    for kk in ks:
+        cols.append(
             F.round(
-                F.avg(F.when(F.col("rank") <= kk, 1.0).otherwise(0.0)), 4
+                F.coalesce(F.col(f"_h{kk}"), F.lit(0.0)) / denom, 4
             ).alias(f"hits_{kk}")
         )
-    return ranks.agg(*aggs)
+    return out.select(*cols)
 
 
 def score_triples(

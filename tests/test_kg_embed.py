@@ -124,6 +124,7 @@ def test_filtered_evaluation_metrics(trained):
     test = edges.filter(F.col("pred") == "located_in")
     row = evaluate_link_prediction(emb, test, edges).collect()[0]
     assert row["n_queries"] == 6
+    assert row["n_unrankable"] == 0
     assert row["mrr"] >= 0.6
     assert row["hits_3"] == 1.0
     assert row["hits_1"] <= 1.0 and row["hits_10"] >= row["hits_3"]
@@ -132,6 +133,20 @@ def test_filtered_evaluation_metrics(trained):
     wrong = test.select("subj", "pred").withColumn("obj", F.lit("file0"))
     worse = evaluate_link_prediction(emb, wrong, edges).collect()[0]
     assert worse["mrr"] < row["mrr"]
+    # unrankable queries are MISSES, not silent drops: an unknown subj and
+    # an unknown true object each count in every denominator
+    extra = test.limit(0).sparkSession.createDataFrame(
+        [("ghost", "located_in", "root", 1.0),
+         ("addr0", "located_in", "nowhere", 1.0)],
+        EDGE_SCHEMA,
+    )
+    mixed = evaluate_link_prediction(emb, test.unionByName(extra), edges)
+    m = mixed.collect()[0]
+    assert m["n_queries"] == 8
+    assert m["n_unrankable"] == 2
+    # same hit/rr mass over a larger denominator → metrics shrink by 6/8
+    assert abs(m["mrr"] - row["mrr"] * 6 / 8) < 0.01
+    assert abs(m["hits_3"] - row["hits_3"] * 6 / 8) < 0.01
 
 
 def test_degenerate_graph_fails_loudly(spark):
