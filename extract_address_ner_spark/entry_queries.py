@@ -1219,6 +1219,41 @@ def q_graph_pred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicate_stats(_built_edges(spark, sf_dir))
 
 
+def gold_schema_graph_sql() -> str:
+    """Quotient graph in plain SQL: two node-type lookups + group-by the
+    typed triple."""
+    return f"""
+WITH _edges AS ({gold_edges_sql()}),
+_nodes AS ({gold_nodes_sql()}),
+typed AS (
+  SELECT ns.node_type AS src_type, e.pred, no_.node_type AS dst_type,
+         e.subj, e.obj
+  FROM _edges e
+  JOIN _nodes ns ON ns.node_id = e.subj
+  JOIN _nodes no_ ON no_.node_id = e.obj)
+SELECT src_type, pred, dst_type,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_src,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_dst
+FROM typed GROUP BY 1, 2, 3"""
+
+
+@register("graph_schema_summary", gold_schema_graph_sql(), driver=False)
+def q_graph_schema_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quotient (schema) graph: edges lifted to endpoint types and
+    collapsed into typed super-edges with edge/endpoint counts — the
+    third planner-statistics leg beside `graph_char_sets` and
+    `graph_pred_stats` (operators/kg_export.schema_graph). Pytest-carried
+    (driver registry is at its 50-entry cap;
+    tests/test_registry_oracles.py replays this against the oracle
+    exactly the way the driver would)."""
+    from .operators.kg_export import schema_graph
+
+    m = extract_mentions(C.corpus_from_documents(spark, sf_dir))
+    canon = canonicalize_mentions(road_address_gate(m))
+    return schema_graph(build_edges(canon), build_nodes(canon))
+
+
 def gold_embed_negatives_sql(k: int = 2, seed: int = 7, buckets: int = 16) -> str:
     """The export's md5 draws, re-expressed in DuckDB (the same
     conv↔concat('0x',…) bridge every hash-keyed oracle here uses): salt-

@@ -84,6 +84,40 @@ def predicate_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+def schema_graph(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(src_type, pred, dst_type, n_edges, n_src, n_dst): the QUOTIENT
+    (schema) graph — every edge lifted to its endpoint types and collapsed
+    into one typed super-edge with edge/endpoint counts. The "schema
+    panel" summary an RDF store derives for planners and UIs, and the
+    third leg of the planner-statistics family here (with
+    :func:`characteristic_sets` and :func:`predicate_stats`). Two
+    shuffle-joins edge→node_type (the node table is O(nodes), never
+    broadcast — same shape as the integrity report's domain/range leg,
+    graph_query.integrity_report) + one map-side-combinable aggregate;
+    output cardinality = distinct (src_type, pred, dst_type) triples.
+    Inner joins: edges with unresolvable endpoints are excluded (the
+    integrity report counts those separately as dangling)."""
+    t = nodes.select("node_id", "node_type")
+    typed = edges.join(
+        t.select(
+            F.col("node_id").alias("subj"),
+            F.col("node_type").alias("src_type"),
+        ),
+        "subj",
+    ).join(
+        t.select(
+            F.col("node_id").alias("obj"),
+            F.col("node_type").alias("dst_type"),
+        ),
+        "obj",
+    )
+    return typed.groupBy("src_type", "pred", "dst_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.count_distinct("subj").cast("long").alias("n_src"),
+        F.count_distinct("obj").cast("long").alias("n_dst"),
+    )
+
+
 def _bucketed_nodes(edges: DataFrame, seed: int) -> DataFrame:
     """Distinct nodes (subjects ∪ objects) with a salt bucket and an
     in-bucket dense rank: (node, bucket, rank). The window partitions by

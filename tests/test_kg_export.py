@@ -50,6 +50,28 @@ def test_predicate_stats(spark):
     assert got == {"mentions": (3, 2, 2), "located_in": (2, 2, 1)}
 
 
+def test_schema_graph(spark):
+    from extract_address_ner_spark.operators.kg_export import schema_graph
+
+    nodes = spark.createDataFrame(
+        [("a", "file"), ("b", "file"), ("c", "address"),
+         ("x", "address"), ("y", "address"), ("r1", "region")],
+        "node_id string, node_type string",
+    )
+    got = {
+        (r["src_type"], r["pred"], r["dst_type"]):
+            (r["n_edges"], r["n_src"], r["n_dst"])
+        for r in schema_graph(_toy_edges(spark), nodes).collect()
+    }
+    assert got == {
+        # a→x, a→y, b→x : 3 edges, 2 files, 2 addresses
+        ("file", "mentions", "address"): (3, 2, 2),
+        # a→r1 (a is a file), c→r1 (c is an address) — split by src type
+        ("file", "located_in", "region"): (1, 1, 1),
+        ("address", "located_in", "region"): (1, 1, 1),
+    }
+
+
 def test_embed_export_semantics(spark):
     edges = _toy_edges(spark)
     out = embedding_training_export(edges, k=2, seed=7)
