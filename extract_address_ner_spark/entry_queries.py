@@ -1247,10 +1247,13 @@ def q_graph_schema_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (driver registry is at its 50-entry cap;
     tests/test_registry_oracles.py replays this against the oracle
     exactly the way the driver would)."""
+    from .operators.dedup import _persist
     from .operators.kg_export import schema_graph
 
     m = extract_mentions(C.corpus_from_documents(spark, sf_dir))
-    canon = canonicalize_mentions(road_address_gate(m))
+    # feeds edges + both node-type join branches — same reuse shape as
+    # q_graph_integrity
+    canon = _persist(canonicalize_mentions(road_address_gate(m)))
     return schema_graph(build_edges(canon), build_nodes(canon))
 
 

@@ -91,13 +91,15 @@ def schema_graph(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     panel" summary an RDF store derives for planners and UIs, and the
     third leg of the planner-statistics family here (with
     :func:`characteristic_sets` and :func:`predicate_stats`). Two
-    shuffle-joins edge→node_type (the node table is O(nodes), never
-    broadcast — same shape as the integrity report's domain/range leg,
-    graph_query.integrity_report) + one map-side-combinable aggregate;
-    output cardinality = distinct (src_type, pred, dst_type) triples.
-    Inner joins: edges with unresolvable endpoints are excluded (the
-    integrity report counts those separately as dangling)."""
-    t = nodes.select("node_id", "node_type")
+    edge→node_type equi-joins (the node table is O(nodes) — too big to
+    broadcast at scale, so these are shuffle joins on a real corpus even
+    though AQE may broadcast them at test sizes; same shape as the
+    integrity report's domain/range leg, graph_query.integrity_report) +
+    one map-side-combinable aggregate; output cardinality = distinct
+    (src_type, pred, dst_type) triples. Inner joins: edges with
+    unresolvable endpoints are excluded (the integrity report counts
+    those separately as dangling)."""
+    t = nodes.select("node_id", "node_type").distinct()
     typed = edges.join(
         t.select(
             F.col("node_id").alias("subj"),
