@@ -39,8 +39,10 @@ UNION ALL SELECT doc_id + 100000 AS doc_id, 'DUP ' || text AS text FROM document
 DUP_DOCS_DUCK = DUP_DOCS_SPARK  # identical dialect subset
 
 
-def dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_documents(spark, sf_dir)
+def dup_documents(
+    spark: SparkSession, sf_dir: str, floor: bool = True
+) -> DataFrame:
+    register_documents(spark, sf_dir, floor=floor)
     return spark.sql(DUP_DOCS_SPARK)
 
 
@@ -64,15 +66,21 @@ UNION ALL SELECT vec_id + 200000 AS vec_id,
 
 
 def dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
-        "embeddings"
-    )
+    _emb(spark, sf_dir).createOrReplaceTempView("embeddings")
     return spark.sql(DUP_EMB_SPARK)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_documents(spark, sf_dir)
     return spark.table("documents")
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings read with the scale-adaptive partition floor (the small-sf
+    parquet is one unsplittable row group — see session.scale_partitions)."""
+    from .session import scale_partitions
+
+    return scale_partitions(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
 
 
 # DuckDB helpers mirroring the Spark expressions
@@ -180,7 +188,10 @@ SELECT sha256(text) AS content_sha256,
 FROM dup GROUP BY 1""",
 )
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dup_groups(dup_documents(spark, sf_dir))
+    # floor=False: sha256+groupBy is cheap per row — the partition-floor
+    # exchange costs more than the single-task sha saves (measured 0.33s →
+    # 1.0s at sf1.0 with the floor; round 6)
+    return dedup.exact_dup_groups(dup_documents(spark, sf_dir, floor=False))
 
 
 # Double-hashing minhash term (mirrors dedup.hash_pairs_expr /
@@ -588,7 +599,7 @@ SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
 FROM ranked WHERE rank <= 10""",
 )
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter("vec_id < 5")
     return ann.brute_force_topk(emb, queries, k=10)
 
@@ -627,7 +638,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine reproduces the buckets: the oracle re-derives plane components,
     sign-pattern buckets per table, the (table, bucket) candidate join, and
     the cosine rerank entirely in DuckDB SQL."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter("vec_id < 5")
     return ann.lsh_bucket_topk(emb, queries, k=10, dim=64)
 
@@ -687,7 +698,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=6) and nprobe=6/32 centroids is the cheapest point at or above
     the 0.5 recall@10 floor (0.54 measured, deterministic) — probing ~19%
     of the corpus vs an exhaustive scan."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter("vec_id < 5")
     return ann.ivf_topk(emb, queries, k=10, n_centroids=32, nprobe=6,
                         refine=1)
@@ -708,7 +719,7 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter("vec_id < 5")
     work = tempfile.mkdtemp(prefix="ivf_index_")
     try:

@@ -7,8 +7,11 @@ in entry_queries:
                100 TB this is the cheapest possible dedup — hash computed in
                the scan projection, map-side combine on the group).
 - MinHash:     k-word shingles → n md5-derived min-hashes per doc — computed
-               NARROW via array higher-order functions (no explode/shuffle
-               until the band join).
+               NARROW (no explode/shuffle until the band join); since round
+               6 the default signature engine is an Arrow-batched vectorized
+               kernel (hashlib md5 + NumPy family minima — the HOF
+               expression path runs interpreted and measured ~7× slower;
+               SPARK_GRAFT_MINHASH_IMPL=expr selects it, values identical).
 - LSH:         banded minhash signatures → candidate pairs via an equi-join
                on (band_idx, band_signature) — the scale path for near-dup:
                candidates ∝ true duplicates, not n².
@@ -59,6 +62,7 @@ from __future__ import annotations
 import contextlib
 import threading
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -236,6 +240,107 @@ def minhash_sig_expr(hash_col: str, n_hashes: int = N_HASHES) -> str:
     return f"CASE WHEN size({hash_col}) = -1 THEN NULL ELSE {sig} END"
 
 
+def _minhash_sigs_batch(texts, n_hashes: int = N_HASHES, k: int = SHINGLE_K):
+    """Vectorized Python twin of shingles_expr → hash_pairs_expr →
+    minhash_sig_expr for ONE Arrow batch: returns a list (per text) of
+    length-``n_hashes`` int lists (all-NULL elements for a NULL text —
+    matching the expression path's ANSI semantics), byte-identical
+    to the SQL-expression path (equality pinned in tests).
+
+    Why it exists (optimization round 6, guide §4.2): Spark's higher-order
+    functions (transform/aggregate lambdas) run INTERPRETED — no whole-stage
+    codegen — so the md5+conv pack plus the 16-family min fold measured
+    ~9.5s of the 14s dedup_minhash_signatures query at sf1.0 (67k docs,
+    3.1M shingles, 32 cores). Here the md5s run through hashlib (C) and the
+    (h1 + j*h2) % M31 family minima through one NumPy broadcast +
+    minimum.reduceat per batch — same values, ~10x less per-shingle cost.
+
+    Exactness notes: md5 hashes the UTF-8 bytes (same as Spark/DuckDB);
+    int(hex[:15], 16) == conv(substr(md5, 1, 15), 16, 10) (60-bit, exact in
+    int64); products stay < 2^36 so the int64 NumPy arithmetic is exact."""
+    import hashlib
+
+    import numpy as np
+
+    md5 = hashlib.md5
+    fb = int.from_bytes
+    m60 = (1 << 60) - 1
+    counts: list[int] = []
+    h1l: list[int] = []
+    h2l: list[int] = []
+    null_rows: list[int] = []
+    ap1, ap2 = h1l.append, h2l.append
+    for i, text in enumerate(texts):
+        if text is None:
+            null_rows.append(i)
+            counts.append(0)
+            continue
+        # encode words ONCE (each word sits in up to k shingles — hashing
+        # the UTF-8 byte concatenation is identical to encoding the joined
+        # string); generic slice path only for k != 3
+        words = [w.encode("utf-8") for w in text.split(" ") if w]
+        if len(words) < k:
+            sh = [b" ".join(words)]
+        elif k == 3:
+            sh = [b"%s %s %s" % t for t in zip(words, words[1:], words[2:])]
+        else:
+            sh = [b" ".join(words[i0:i0 + k])
+                  for i0 in range(len(words) - k + 1)]
+        counts.append(len(sh))
+        for s in sh:
+            # digest bytes, not hexdigest: hex chars [0,15) are the first
+            # 60 bits (d[:8] >> 4), chars [15,30) the next 60 (low 60 bits
+            # of d[7:15]) — same values as conv(substr(md5_hex,...),16,10)
+            d = md5(s).digest()
+            ap1(fb(d[:8], "big") >> 4)
+            ap2(fb(d[7:15], "big") & m60)
+    # NULL text mirrors the expression path exactly: under ANSI size(NULL)
+    # is NULL (never -1), so minhash_sig_expr's ELSE branch yields an array
+    # of n_hashes NULL elements — not a NULL array (and the band table then
+    # hashes concat_ws of all-null slices, i.e. md5('')). Byte-identical
+    # here: [None] * n_hashes per null row.
+    null_sig = [None] * n_hashes
+    if not h1l:
+        return [null_sig for _ in counts]
+    h1 = np.asarray(h1l, dtype=np.int64) % M31
+    h2 = np.asarray(h2l, dtype=np.int64) % M31
+    j = np.arange(n_hashes, dtype=np.int64)
+    mat = (h1[:, None] + j[None, :] * h2[:, None]) % M31
+    ends = np.cumsum(np.asarray(counts, dtype=np.int64))
+    starts = ends - np.asarray(counts, dtype=np.int64)
+    null_set = set(null_rows)
+    # reduceat needs non-empty segments; compute per-doc minima only over
+    # docs that have shingles (every non-null doc has >= 1 by construction)
+    live = [i for i in range(len(counts)) if i not in null_set]
+    if live:
+        sigs = np.minimum.reduceat(mat, starts[live], axis=0)
+    out: list = [null_sig] * len(counts)
+    for pos, i in enumerate(live):
+        out[i] = sigs[pos]
+    return out
+
+
+def _sig_frame(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(id, _sig array<bigint>) — the MinHash signature table. Default
+    engine is the Arrow-vectorized batch path (``_minhash_sigs_batch``);
+    set SPARK_GRAFT_MINHASH_IMPL=expr for the pure-SQL-expression original
+    (same values — equality pinned in tests)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_MINHASH_IMPL", "arrow") == "expr":
+        sig = minhash_sig_expr("_hs", n_hashes)
+        return with_shingle_hashes(df, text_col).select(
+            id_col, F.expr(sig).alias("_sig")
+        )
+    def _sig_fn(texts: pd.Series) -> pd.Series:
+        return pd.Series(_minhash_sigs_batch(texts.tolist(), n_hashes))
+
+    _sig_udf = F.pandas_udf(_sig_fn, "array<bigint>")
+    return df.select(id_col, _sig_udf(F.col(text_col)).alias("_sig"))
+
+
 def with_shingles(
     df: DataFrame, text_col: str = "text", out_col: str = "_shingles",
     k: int = SHINGLE_K,
@@ -265,10 +370,8 @@ def minhash_signatures(
     from ..session import ensure_optimizer_confs
 
     ensure_optimizer_confs(df.sparkSession)
-    sig = minhash_sig_expr("_hs", n_hashes)
     return (
-        with_shingle_hashes(df, text_col)
-        .select(id_col, F.expr(sig).alias("_sig"))
+        _sig_frame(df, text_col, id_col, n_hashes)
         .select(id_col, F.posexplode("_sig").alias("h_idx", "minhash"))
     )
 
@@ -283,10 +386,8 @@ def lsh_band_table(
     (``incremental_lsh_pairs``, which accumulates this table as the
     durable band INDEX across batches)."""
     n_bands = n_hashes // band_size
-    sig = minhash_sig_expr("_hs", n_hashes)
     return (
-        with_shingle_hashes(df, text_col)
-        .select(id_col, F.expr(sig).alias("_sig"))
+        _sig_frame(df, text_col, id_col, n_hashes)
         .select(
             id_col,
             F.posexplode(
@@ -555,8 +656,13 @@ def jaccard_verify(
             .distinct()
         )
         base = df.join(cand_ids, id_col, "left_semi")
-    sh = with_shingles(base, text_col).select(
-        id_col, F.array_distinct(F.col("_shingles")).alias("_sh")
+    # persist: the shingle table feeds BOTH pair-join sides — without it the
+    # regex shingling of the corpus runs twice (measured ~0.9s per pass at
+    # sf1.0; round 6)
+    sh = _persist(
+        with_shingles(base, text_col).select(
+            id_col, F.array_distinct(F.col("_shingles")).alias("_sh")
+        )
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
@@ -581,9 +687,38 @@ def jaccard_verify(
 # near-dup connected components (cluster collapse / keeper selection)
 # --------------------------------------------------------------------------
 
+def _unionfind_remap(rows) -> list:
+    """Driver-side union-find over a bounded pair list: returns
+    ``(node, root)`` tuples for every non-root member, roots being the MIN
+    id of each component — exactly the min-label CC contract. Shared by
+    ``incremental_components`` and the bounded fast path of
+    ``connected_components``."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = find(row["id_a"]), find(row["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict = {}
+    for n in parent:
+        groups.setdefault(find(n), []).append(n)
+    return [
+        (n, root) for root, members in groups.items()
+        for n in members if n != root
+    ]
+
+
 def connected_components(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-    max_iter: int = 25,
+    max_iter: int = 25, driver_threshold: int = 0,
 ) -> DataFrame:
     """(doc_id, component_id): connected components over a near-dup pair
     list, component_id = min doc id in the component (deterministic);
@@ -611,6 +746,33 @@ def connected_components(
     ``connected_components_star``, the large-star/small-star variant that
     converges in ~log₂(chain) rounds; near-dup graphs are usually dense
     enough (diameter 1-3) that plain propagation wins on constant factors."""
+    # Bounded driver fast path (round 6, opt-in via driver_threshold > 0):
+    # when the pair list holds at most driver_threshold edges, one
+    # limit(threshold+1).collect() + union-find replaces the whole
+    # propagation loop (per-round join/aggregate/convergence-probe jobs are
+    # pure fixed overhead at small pair counts — measured ~3-4s for 23k
+    # pairs at sf1.0). Same contract and scale story as
+    # incremental_components' driver_threshold: the collect is BOUNDED
+    # (threshold+1 rows), an oversized pair list falls back to the
+    # distributed loop below at the cost of that one probe action, and the
+    # result is pytest-pinned identical between the paths.
+    if driver_threshold > 0:
+        rows = pairs.select("id_a", "id_b").limit(driver_threshold + 1).collect()
+        if len(rows) <= driver_threshold:
+            remap_rows = _unionfind_remap(rows)
+            id_type = docs.schema[id_col].dataType
+            schema = T.StructType([
+                T.StructField("_old", id_type),
+                T.StructField("_new", id_type),
+            ])
+            remap = docs.sparkSession.createDataFrame(remap_rows, schema)
+            return docs.select(id_col).join(
+                F.broadcast(remap),
+                F.col(id_col) == F.col("_old"), "left"
+            ).select(
+                id_col,
+                F.coalesce(F.col("_new"), F.col(id_col)).alias("component_id"),
+            )
     # Round-4 per-round shuffle diet: edges are pre-partitioned on the
     # message SOURCE key and labels on the node key, both with the session
     # shuffle-partition count, and both CACHED — a cached DataFrame
@@ -784,6 +946,7 @@ def dedup_near(
     docs: DataFrame, pairs: DataFrame | None = None,
     text_col: str = "text", id_col: str = "doc_id",
     threshold: float = 0.8, algorithm: str = "propagation",
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """END-TO-END near-dedup: keep exactly one representative (the min-id
     keeper) per near-duplicate component. Composes the full production
@@ -802,9 +965,15 @@ def dedup_near(
     if pairs is None:
         pairs = lsh_verified_pairs(docs, text_col, id_col,
                                    threshold=threshold)
-    cc = (connected_components if algorithm == "propagation"
-          else connected_components_star)
-    comp = cc(docs, pairs, id_col)
+    if algorithm == "propagation":
+        # driver_threshold: bounded union-find fast path for small verified
+        # pair lists (see connected_components); identical output, falls
+        # back to the distributed loop past the threshold
+        comp = connected_components(
+            docs, pairs, id_col, driver_threshold=driver_threshold
+        )
+    else:
+        comp = connected_components_star(docs, pairs, id_col)
     keepers = comp.filter(F.col(id_col) == F.col("component_id")).select(id_col)
     return docs.join(keepers, id_col, "left_semi")
 
@@ -897,27 +1066,7 @@ def incremental_components(
     if driver_threshold > 0:
         ce_rows = ce.limit(driver_threshold + 1).collect()
         if len(ce_rows) <= driver_threshold:
-            parent: dict = {}
-
-            def find(x):
-                r = x
-                while parent.setdefault(r, r) != r:
-                    r = parent[r]
-                while parent[x] != r:  # path compression
-                    parent[x], x = r, parent[x]
-                return r
-
-            for row in ce_rows:
-                ra, rb = find(row["id_a"]), find(row["id_b"])
-                if ra != rb:
-                    parent[max(ra, rb)] = min(ra, rb)
-            groups: dict = {}
-            for n in parent:
-                groups.setdefault(find(n), []).append(n)
-            remap_rows = [
-                (n, root) for root, members in groups.items()
-                for n in members if n != root
-            ]
+            remap_rows = _unionfind_remap(ce_rows)
             id_type = ce.schema["id_a"].dataType
             schema = T.StructType([
                 T.StructField("_old", id_type),

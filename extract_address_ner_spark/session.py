@@ -48,6 +48,30 @@ def ensure_optimizer_confs(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
 
 
+def scale_partitions(df, min_parts: int | None = None):
+    """Floor the partition count of a source DataFrame at the session's
+    default parallelism (round 6, guide §2.5 "input skew: one huge
+    unsplittable file — repartition immediately after the read").
+
+    Why: the driver's small-sf parquet inputs are single-row-group files,
+    and a parquet row group cannot be split — every scan branch lands in
+    ONE task, so the per-row-heavy operators (HOF folds, Arrow-batched
+    kernels) were measured running at parallelism ~3 on a 32-core session
+    (sf1.0: the whole dedup corpus in 3 tasks). A keyless round-robin
+    repartition right after the read restores parallelism for a few MB of
+    shuffle. Scale-adaptive, not a constant: when the input already scans
+    with >= defaultParallelism splits (any realistically-sized table — at
+    100 TB the scan has thousands of row groups), this is a NO-OP and no
+    exchange is added. Row-identity is preserved exactly (round-robin
+    reassigns rows to partitions; every registered compare is
+    order-insensitive, and Spark's sort-before-repartition keeps the
+    assignment deterministic under task retry)."""
+    min_parts = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
+
+
 def get_spark(
     app_name: str = "kg-construct",
     master: str | None = None,
@@ -63,9 +87,23 @@ def get_spark(
     # may lack pyarrow/pandas entirely. spark-submit sets this itself;
     # setdefault keeps any deployment-provided value authoritative.
     import sys
+    from pathlib import Path
 
     os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
     os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+
+    # Executor Python workers must be able to import THIS package: in
+    # multi-JVM layouts (local-cluster / standalone) the worker's sys.path
+    # does not inherit the driver's, so any pandas_udf/mapInPandas
+    # referencing the package fails with ModuleNotFoundError (round 6 —
+    # surfaced when the Arrow extraction/minhash kernels joined the KG
+    # path). Real deployments ship the package (pip image / --py-files);
+    # propagating the repo root via executorEnv is the sandbox equivalent.
+    # A deployment-provided PYTHONPATH is preserved (prepended to).
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in py_path.split(os.pathsep):
+        py_path = repo_root + (os.pathsep + py_path if py_path else "")
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -81,6 +119,7 @@ def get_spark(
         # for the thread count (8g across 32 threads was GC-starved and
         # produced INVERTED core scaling on allocation-heavy stages)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.executorEnv.PYTHONPATH", py_path)
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -148,10 +148,21 @@ def gold_mentions_sql(sha256_fn: str = "sha2({}, 256)", documents: str = "docume
     )
 
 
-def register_documents(spark: SparkSession, sf_dir: str) -> None:
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
-        "documents"
-    )
+def register_documents(
+    spark: SparkSession, sf_dir: str, floor: bool = True
+) -> None:
+    # scale_partitions: the small-sf documents parquet is ONE row group —
+    # unsplittable, so every derived pipeline otherwise computes its
+    # per-row-heavy stages in a single task (guide §2.5). No-op whenever
+    # the scan already splits to >= default parallelism. ``floor=False``
+    # skips it for consumers whose per-row work is trivial (e.g. the exact
+    # dedup sha — the repartition exchange would cost more than it saves).
+    from ..session import scale_partitions
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if floor:
+        df = scale_partitions(df)
+    df.createOrReplaceTempView("documents")
 
 
 def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

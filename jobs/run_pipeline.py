@@ -196,8 +196,12 @@ def main() -> int:
             embed_dim, embed_epochs = (int(x) for x in args.embed.split(","))
         except ValueError:
             ap.error("--embed expects DIM,EPOCHS (e.g. 16,10)")
-        if embed_dim < 1 or embed_epochs < 1:
-            ap.error("--embed DIM and EPOCHS must be >= 1")
+        if embed_dim < 1 or embed_epochs < 2:
+            # epochs >= 2: the learning gate compares losses[-1] < losses[0],
+            # which needs two loss points — a 1-epoch run would always print
+            # NOT-LEARNING and fail the job even when nothing is wrong
+            # (ADVICE r05)
+            ap.error("--embed DIM must be >= 1 and EPOCHS >= 2")
 
     master, extra_conf = args.master, {}
     if args.local_cluster:

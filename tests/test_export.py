@@ -98,9 +98,11 @@ def test_mixture_sample_semantics(spark, sf_smoke):
 def test_mixture_sample_stays_narrow(spark, sf_smoke):
     """The scale claim: mixture sampling adds NO exchange — the plan on a
     parquet scan contains zero Exchange operators (filter + generate ride
-    the scan stage)."""
-    docs = dup_documents(spark, sf_smoke).select("doc_id", "text") \
-        .withColumn("source", F.lit("web"))
+    the scan stage). floor=False: the round-6 source partition floor adds
+    its own (input-side) exchange on the one-row-group test parquet; this
+    pin is about the SAMPLING operator, so it reads the raw scan."""
+    docs = dup_documents(spark, sf_smoke, floor=False) \
+        .select("doc_id", "text").withColumn("source", F.lit("web"))
     out = X.mixture_sample(docs, {"web": 1.7}, "source")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
