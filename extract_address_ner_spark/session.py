@@ -66,7 +66,19 @@ def scale_partitions(df, min_parts: int | None = None):
     reassigns rows to partitions; every registered compare is
     order-insensitive, and Spark's sort-before-repartition keeps the
     assignment deterministic under task retry)."""
-    min_parts = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if min_parts is None:
+        dp = df.sparkSession.sparkContext.defaultParallelism
+        # size the floor from the INPUT, not a constant: one partition per
+        # ~384 KB of (compressed) source so tiny inputs (sf0.1 and below)
+        # keep their native scan layout with ZERO added exchange — the
+        # repartition only fires when a single unsplittable row group is
+        # actually big enough for the per-row compute to dominate (measured
+        # +0.2s pure overhead per small query at sf0.1 with an
+        # unconditional floor, vs multi-second wins at sf1.0).
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        min_parts = min(dp, max(1, size // (384 << 10)))
     if df.rdd.getNumPartitions() < min_parts:
         return df.repartition(min_parts)
     return df

@@ -104,9 +104,19 @@ def test_extract_mentions_arrow_dispatch_matches_expr(spark, sf_smoke):
 def test_scale_partitions_floors_and_noops(spark):
     low = spark.createDataFrame([(i,) for i in range(100)], "x int") \
         .coalesce(1)
-    floored = scale_partitions(low)
-    assert floored.rdd.getNumPartitions() >= \
-        spark.sparkContext.defaultParallelism
+    # explicit floor: repartitions, identical rows
+    floored = scale_partitions(low, min_parts=8)
+    assert floored.rdd.getNumPartitions() >= 8
     assert _rows(floored) == _rows(low)
+    # adaptive mode: a tiny parquet input (size-based stats) stays on its
+    # native layout — no exchange added
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="floor_probe_")
+    low.coalesce(1).write.mode("overwrite").parquet(d)
+    tiny = spark.read.parquet(d)
+    assert scale_partitions(tiny).rdd.getNumPartitions() == \
+        tiny.rdd.getNumPartitions()
+    # an already-parallel input is never repartitioned
     high = spark.range(0, 1000, 1, 64)
-    assert scale_partitions(high).rdd.getNumPartitions() == 64
+    assert scale_partitions(high, min_parts=8).rdd.getNumPartitions() == 64
