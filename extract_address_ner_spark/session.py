@@ -124,6 +124,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Guide §3.1/§9 (round 6): allow shuffled-hash over sort-merge when
+        # the build fits — skips both sides' sorts (measured ~10% on the
+        # LSH verify chain). Size-bounded, not local-mode tuning: the
+        # static preference still honors the planner's build-size
+        # conditions, and the AQE threshold converts SMJ→SHJ at runtime
+        # only when every post-shuffle partition is under 64 MB (=
+        # advisoryPartitionSizeInBytes), so an oversized build at 100 TB
+        # keeps sort-merge.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
