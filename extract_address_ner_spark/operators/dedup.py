@@ -646,30 +646,46 @@ def jaccard_verify(
     """Exact shingle-Jaccard verification of a candidate pair list
     (id_a, id_b) against the corpus — the shared back half of
     ``lsh_verified_pairs`` and the incremental probe path. See
-    ``lsh_verified_pairs`` for the ``prefilter_candidates`` trade-off."""
+    ``lsh_verified_pairs`` for the ``prefilter_candidates`` trade-off.
+
+    Join shape (round 6): both endpoints' shingle arrays are gathered by
+    TWO INDEPENDENT joins of the pair list against the (persisted) shingle
+    table — both keyed on the doc id, so the shingle table's exchange is
+    planned once and reused — and the two array-carrying halves then join
+    on the full (id_a, id_b) pair key. The previous serial
+    cand⋈a⋈b chain re-shuffled the array payload of the growing
+    intermediate between the two joins; this shape shuffles array payloads
+    ∝ candidates only and runs the two gathers as independent stages
+    (measured 3.65s → 2.93s at sf1.0, identical output)."""
+    cand = _persist(cand.select("id_a", "id_b"))  # both gathers + pair join
     base = df
     if prefilter_candidates:
-        cand = _persist(cand)  # consumed 3x: two id projections + pair join
         cand_ids = (
             cand.select(F.col("id_a").alias(id_col))
             .union(cand.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
         base = df.join(cand_ids, id_col, "left_semi")
-    # persist: the shingle table feeds BOTH pair-join sides — without it the
-    # regex shingling of the corpus runs twice (measured ~0.9s per pass at
-    # sf1.0; round 6)
+    # persist: the shingle table feeds BOTH gathers — without it the regex
+    # shingling of the corpus runs twice (measured ~0.9s per pass at sf1.0)
     sh = _persist(
         with_shingles(base, text_col).select(
             id_col, F.array_distinct(F.col("_shingles")).alias("_sh")
         )
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    r1 = sh.join(cand, sh[id_col] == cand["id_a"]).select(
+        "id_a", "id_b", F.col("_sh").alias("_sa")
+    )
+    r2 = sh.join(cand, sh[id_col] == cand["id_b"]).select(
+        F.col("id_a").alias("_ia"), F.col("id_b").alias("_ib"),
+        F.col("_sh").alias("_sb"),
+    )
     n_inter = F.size(F.array_intersect("_sa", "_sb"))
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        r1.join(
+            r2,
+            (r1["id_a"] == r2["_ia"]) & (r1["id_b"] == r2["_ib"]),
+        )
         .withColumn(
             "jaccard",
             F.round(

@@ -471,13 +471,18 @@ def pagerank(
         .union(ed.select(F.col("_v").alias("node")))
         .distinct()
     )
+    # ed ⋈ outdeg is ITERATION-INVARIANT — join it once and persist (round
+    # 6): only exchanges are deduplicated across a plan (ReusedExchange),
+    # not identical join subtrees, so the old per-iteration
+    # ed⋈ranks⋈outdeg re-executed the degree join every round. One join
+    # per iteration now; arithmetic unchanged (outdeg is one row per _u).
+    ed_deg = _persist(ed.join(outdeg, "_u"))
     n = nodes.count()  # one driver scalar: the teleport constant's N
     ranks = _persist(nodes.withColumn("_pr", F.lit(1.0 / n)))
     teleport = (1.0 - damping) / n
     for _round in range(iterations):
         contrib = (
-            ed.join(ranks, ed["_u"] == ranks["node"])
-            .join(outdeg, "_u")
+            ed_deg.join(ranks, ed_deg["_u"] == ranks["node"])
             .select(
                 F.col("_v").alias("node"),
                 (F.col("_pr") * wcol / F.col("_deg")).alias("_c"),
