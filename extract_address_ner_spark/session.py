@@ -79,6 +79,10 @@ def scale_partitions(df, min_parts: int | None = None):
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
         min_parts = min(dp, max(1, size // (384 << 10)))
+    if min_parts <= 1:
+        # guaranteed no-op: skip the .rdd physical-planning probe (it costs
+        # ~0.1s and sits inside the timed window of every small-sf query)
+        return df
     if df.rdd.getNumPartitions() < min_parts:
         return df.repartition(min_parts)
     return df
